@@ -1,0 +1,37 @@
+"""Runtime configuration (reference: src/Config.hpp:31-66)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+MEM = "mem"
+GREEDY = "greedy"
+
+
+@dataclass
+class KaijuConfig:
+    mode: str = GREEDY
+    max_matches_SI: int = 20
+    max_match_ids: int = 20
+    max_match_acc: int = 20
+    verbose: bool = False
+    debug: bool = False
+    seg: bool = True
+    input_is_protein: bool = False
+    min_fragment_length: int = 11
+    mismatches: int = 3
+    min_score: int = 65
+    seed_length: int = 7
+    use_Evalue: bool = True
+    min_Evalue: float = 0.01
+
+    def validate(self) -> None:
+        if self.mode not in (MEM, GREEDY):
+            raise ValueError(f"invalid mode {self.mode}")
+        if self.mode == MEM and self.use_Evalue:
+            # kaiju.cpp:202 rejects -E with MEM; `-a mem` auto-disables
+            raise ValueError("E-value filtering is only possible in Greedy mode")
+        if self.seed_length < 7:
+            raise ValueError("Seed length must be >= 7.")
+        if self.min_score <= 0 or self.min_fragment_length <= 0:
+            raise ValueError("min_score/min_fragment_length must be positive")
