@@ -125,3 +125,49 @@ def test_protein_input_parity(db_env):
         mine = _mine(db_env, cfg, reads)
         ref = _oracle(db_env, reads, mode_args, fasta=True)
         assert mine == ref, _diff(mine, ref)
+
+
+def _lowcomp_reads(rng, records, n=100):
+    """Reads with low-complexity protein stretches to exercise SEG."""
+    from readgen import reverse_translate, revcomp
+
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    reads = []
+    for i in range(n):
+        name = f"lc{i:04d}"
+        _, prot = records[rng.randrange(len(records))]
+        plen = rng.randint(15, min(50, len(prot)))
+        start = rng.randrange(0, len(prot) - plen + 1)
+        sub = prot[start : start + plen]
+        kind = i % 5
+        if kind == 0:  # homopolymer insert
+            a = rng.choice(aas)
+            sub = sub[: plen // 2] + a * rng.randint(8, 20) + sub[plen // 2 :]
+        elif kind == 1:  # dipeptide repeat
+            a, b = rng.choice(aas), rng.choice(aas)
+            sub = a + (a + b) * rng.randint(5, 12) + sub
+        elif kind == 2:  # low-complexity tail
+            a = rng.choice("PQS")
+            sub = sub + a * rng.randint(6, 15)
+        elif kind == 3:  # two low-complexity islands
+            sub = ("S" * rng.randint(7, 14) + sub[: plen // 2]
+                   + "K" * rng.randint(7, 14) + sub[plen // 2 :])
+        dna = reverse_translate(rng, sub)
+        if i % 2:
+            dna = revcomp(dna)
+        reads.append((name, dna))
+    return reads
+
+
+@needs_oracle
+@pytest.mark.parametrize("mode", ["mem", "greedy"])
+def test_seg_parity(db_env, mode):
+    rng = random.Random(47)
+    reads = _lowcomp_reads(rng, db_env["records"], n=100)
+    reads += make_reads(rng, db_env["records"], n=50)
+    cfg = KaijuConfig(
+        mode=mode, seg=True, use_Evalue=(mode == "greedy"), verbose=True
+    )
+    mine = _mine(db_env, cfg, reads)
+    ref = _oracle(db_env, reads, ["-a", mode, "-x", "-v"])
+    assert mine == ref, _diff(mine, ref)
