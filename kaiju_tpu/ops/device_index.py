@@ -1,0 +1,253 @@
+"""Device-resident FM index and batched query kernels (JAX).
+
+The innermost operation everywhere is
+    fmindex(c, k) = C[c] + occ[k >> 7, c] + count(bwt_block[k >> 7][:k&127] == c)
+one occ gather + one 128-byte block-row gather + a masked compare-reduce —
+the TPU-native replacement for the reference's checkpoint+byte-scan
+(reference: src/bwt/compactfmi.c:267-307).  All kernels below are batched
+over flat lane arrays and use static-shape masked iteration (lax.while_loop)
+instead of the reference's per-query scalar loops.
+
+Everything is int32: a single index shard is kept < 2^31 (large databases
+are sharded across devices; see kaiju_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.core import BLOCK, KaijuIndex
+
+
+class DeviceIndex:
+    """Immutable device arrays for one index shard."""
+
+    def __init__(self, index: KaijuIndex, device=None):
+        put = partial(jax.device_put, device=device) if device else jax.device_put
+        self.blocks = put(np.asarray(index.bwt).reshape(-1, BLOCK))
+        self.occ = put(np.asarray(index.occ, dtype=np.int32))
+        self.C = put(np.asarray(index.C, dtype=np.int32))
+        self.sa_seq = put(np.asarray(index.sa_seq, dtype=np.int32))
+        self.sa_off = put(np.asarray(index.sa_off, dtype=np.int32))
+        self.length = int(index.length)
+        self.nseq = int(index.nseq)
+        self.chpt_exp = int(index.chpt_exp)
+        self.alen = index.alen
+
+    @property
+    def arrays(self):
+        return (self.blocks, self.occ, self.C)
+
+
+# ---------------------------------------------------------------------------
+# rank / fmindex
+# ---------------------------------------------------------------------------
+
+
+def fmindex(blocks, occ, C, c, k):
+    """Batched FMindex: absolute SA position C[c] + occ_c(k), count
+    excluding k (reference semantics, compactfmi.c:4-19).
+
+    c, k: int32 [N].  Returns int32 [N].
+    """
+    b = k >> 7
+    base = occ[b, c]
+    nb = blocks.shape[0]
+    row = blocks[jnp.minimum(b, nb - 1)]  # [N, BLOCK]
+    off = k & (BLOCK - 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    cnt = jnp.sum(
+        (row == c[:, None].astype(row.dtype)) & (lanes < off[:, None]),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    return C[c] + base + cnt
+
+
+def _fmindex_row(row, occ_b, C, c, off):
+    """fmindex when the block row and occ row are already gathered."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    cnt = jnp.sum(
+        (row == c[:, None].astype(row.dtype)) & (lanes < off[:, None]),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    return C[c] + jnp.take_along_axis(occ_b, c[:, None], axis=1)[:, 0] + cnt
+
+
+# ---------------------------------------------------------------------------
+# MEM wavefront: maximal backward extension for every end position
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=())
+def extend_all(blocks, occ, C, codes, flen):
+    """For every (fragment, end position j): the maximal backward extension.
+
+    codes: uint8 [F, L] (letter codes, 0-padded), flen: int32 [F].
+    Returns (start, si0, si1): int32 [F, L]; the match for end position j
+    spans [start[f, j], j] with SA interval [si0, si1).  Lanes with
+    j >= flen[f] are invalid (si1 <= si0).
+
+    This is the reference's per-end-position loop (bwt.c:265-293 / 355-361)
+    as a lockstep wavefront with active-lane masking.
+    """
+    F, L = codes.shape
+    N = F * L
+    flat = codes.reshape(-1).astype(jnp.int32)
+    lane = jnp.arange(N, dtype=jnp.int32)
+    f = lane // L
+    j = lane % L
+    valid = j < flen[f]
+
+    c0 = jnp.where(valid, flat[lane], 0)
+    si0 = C[c0]
+    si1 = C[c0 + 1]
+    i = j
+    active = valid
+
+    def cond(state):
+        i, si0, si1, active = state
+        return jnp.any(active & (i > 0))
+
+    def body(state):
+        i, si0, si1, active = state
+        ext = active & (i > 0)
+        cpos = jnp.where(ext, f * L + i - 1, 0)
+        c = flat[cpos]
+        n0 = fmindex(blocks, occ, C, c, si0)
+        n1 = fmindex(blocks, occ, C, c, si1)
+        ok = ext & (n0 < n1)
+        si0 = jnp.where(ok, n0, si0)
+        si1 = jnp.where(ok, n1, si1)
+        i = jnp.where(ok, i - 1, i)
+        return i, si0, si1, ok
+
+    i, si0, si1, _ = jax.lax.while_loop(cond, body, (i, si0, si1, active))
+    si0 = jnp.where(valid, si0, 0)
+    si1 = jnp.where(valid, si1, 0)
+    return (
+        i.reshape(F, L),
+        si0.reshape(F, L),
+        si1.reshape(F, L),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Right-anchored resumed extension (Greedy num_mm > 0 fragments)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def extend_from(blocks, occ, C, codes, start_i, si0, si1, active_in):
+    """Resume backward extension from position start_i with interval
+    [si0, si1) (reference: bwt.c:298-336 maxMatches_withStart loop).
+
+    codes: uint8 [N, L] per-lane fragment codes; start_i: first unmatched
+    position + 1 (the loop extends to codes[:, start_i-1] first).
+    Returns final (i, si0, si1).
+    """
+    N, L = codes.shape
+    flat = codes.reshape(-1).astype(jnp.int32)
+    row = jnp.arange(N, dtype=jnp.int32)
+    i = start_i
+
+    def cond(state):
+        i, si0, si1, active = state
+        return jnp.any(active & (i > 0))
+
+    def body(state):
+        i, si0, si1, active = state
+        ext = active & (i > 0)
+        cpos = jnp.where(ext, row * L + i - 1, 0)
+        c = flat[cpos]
+        n0 = fmindex(blocks, occ, C, c, si0)
+        n1 = fmindex(blocks, occ, C, c, si1)
+        ok = ext & (n0 < n1)
+        si0 = jnp.where(ok, n0, si0)
+        si1 = jnp.where(ok, n1, si1)
+        i = jnp.where(ok, i - 1, i)
+        return i, si0, si1, ok
+
+    i, si0, si1, _ = jax.lax.while_loop(cond, body, (i, si0, si1, active_in))
+    return i, si0, si1
+
+
+# ---------------------------------------------------------------------------
+# UpdateSI probes (Greedy substitution enumeration)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def probe_updates(blocks, occ, C, c, si0, si1):
+    """Batched UpdateSI (reference: bwt.c:160-173): returns (n0, n1, ok)."""
+    n0 = fmindex(blocks, occ, C, c, si0)
+    n1 = fmindex(blocks, occ, C, c, si1)
+    return n0, n1, n0 < n1
+
+
+# ---------------------------------------------------------------------------
+# SA lookup: LF-walk to a sampled slot or a terminator
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(7,))
+def sa_lookup(blocks, occ, C, sa_seq, sa_off, nseq, k0, chpt_exp):
+    """Batched get_suffix (reference: bwt.c:105-121).
+
+    k0: int32 [N] SA positions.  Returns (iseq, pos): the content-rank
+    sequence index and suffix offset for each position.
+    """
+    check = (1 << chpt_exp) - 1
+    N = k0.shape[0]
+    nb = blocks.shape[0]
+
+    def sample(k, steps):
+        idx = (k >> chpt_exp) - ((nseq - 1) >> chpt_exp) - 1
+        idx = jnp.clip(idx, 0, sa_seq.shape[0] - 1)
+        return sa_seq[idx], sa_off[idx] + steps
+
+    k = k0
+    steps = jnp.zeros(N, dtype=jnp.int32)
+    done = (k & check) == 0
+    iseq, pos = sample(k, steps)
+
+    def cond(state):
+        k, steps, done, iseq, pos = state
+        return jnp.any(~done)
+
+    def body(state):
+        k, steps, done, iseq, pos = state
+        b = k >> 7
+        row = blocks[jnp.minimum(b, nb - 1)]
+        off = k & (BLOCK - 1)
+        c = jnp.take_along_axis(row, off[:, None], axis=1)[:, 0].astype(jnp.int32)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+        cnt = jnp.sum(
+            (row == c[:, None].astype(row.dtype)) & (lanes < off[:, None]),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        k_new = C[c] + occ[b, c] + cnt
+        hit_term = ~done & (c == 0)
+        # terminator: iseq is the LF result itself (content rank), pos=steps
+        iseq = jnp.where(hit_term, k_new, iseq)
+        pos = jnp.where(hit_term, steps, pos)
+        stepping = ~done & ~hit_term
+        k = jnp.where(stepping, k_new, k)
+        steps = jnp.where(stepping, steps + 1, steps)
+        at_chk = stepping & ((k & check) == 0)
+        s_iseq, s_pos = sample(k, steps)
+        iseq = jnp.where(at_chk, s_iseq, iseq)
+        pos = jnp.where(at_chk, s_pos, pos)
+        done = done | hit_term | at_chk
+        return k, steps, done, iseq, pos
+
+    _, _, _, iseq, pos = jax.lax.while_loop(
+        cond, body, (k, steps, done, iseq, pos)
+    )
+    return iseq, pos
