@@ -4,13 +4,19 @@ import shutil
 import subprocess
 
 # Tests run on CPU with a virtual 8-device mesh so sharding code paths are
-# exercised without TPU hardware.  Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware.  The environment's sitecustomize may have
+# imported jax and forced a TPU platform already, so override via
+# jax.config before any backend initializes (XLA_FLAGS is read lazily at
+# backend init).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
