@@ -121,3 +121,34 @@ def test_parse_taxid():
     assert parse_taxid("WP_12345.1_987") == 987
     assert parse_taxid("987") == 987
     assert parse_taxid("foo") == 0
+
+
+def test_native_builder_matches_py_builder():
+    from kaiju_tpu.index import native_builder
+
+    for seed, nseq in [(61, 8), (62, 25), (63, 40)]:
+        rng = random.Random(seed)
+        records = make_db_records(rng, nseq=nseq)
+        a = py_builder.build_index(records)
+        b = native_builder.build_index(records)
+        np.testing.assert_array_equal(a.bwt, b.bwt)
+        np.testing.assert_array_equal(a.C, b.C)
+        np.testing.assert_array_equal(a.occ, b.occ)
+        np.testing.assert_array_equal(a.sa_seq, b.sa_seq)
+        np.testing.assert_array_equal(a.sa_off, b.sa_off)
+        assert a.names == b.names
+        np.testing.assert_array_equal(a.seq_lengths, b.seq_lengths)
+        np.testing.assert_array_equal(a.seq_term_order, b.seq_term_order)
+
+
+@needs_oracle
+def test_native_builder_matches_reference_fmi(db_env):
+    from kaiju_tpu.index import native_builder
+
+    ref = fmi_reader.read_fmi(db_env["fmi"])
+    mine = native_builder.build_index(db_env["records"], chpt_exp=ref.chpt_exp)
+    np.testing.assert_array_equal(mine.bwt[: mine.length], ref.bwt[: ref.length])
+    n = min(len(mine.sa_seq), len(ref.sa_seq))
+    np.testing.assert_array_equal(mine.sa_seq[:n], ref.sa_seq[:n])
+    np.testing.assert_array_equal(mine.sa_off[:n], ref.sa_off[:n])
+    assert mine.names == ref.names
