@@ -189,9 +189,9 @@ class ReadClassifier:
         self.tax = taxonomy
         self._trans = trans_table(index.alphabet)
         if cfg.seg:
-            from .seg import SegFilter
+            from .seg_native import make_seg_filter
 
-            self._seg_filter = SegFilter()
+            self._seg_filter = make_seg_filter()
             self._seg_cache: dict[str, list] = {}
         else:
             self._seg_filter = None

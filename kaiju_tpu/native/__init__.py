@@ -24,7 +24,7 @@ def build_library(force: bool = False) -> str:
     """Compile the native library if needed; returns the .so path."""
     d = _src_dir()
     so = os.path.join(d, _LIB_NAME)
-    srcs = [os.path.join(d, "sais.cpp")]
+    srcs = [os.path.join(d, "sais.cpp"), os.path.join(d, "seg.cpp")]
     if not force and os.path.exists(so):
         newest_src = max(os.path.getmtime(s) for s in srcs)
         if os.path.getmtime(so) >= newest_src:
@@ -44,6 +44,10 @@ def get_lib():
             so = build_library()
             lib = ctypes.CDLL(so)
             lib.kt_build_bwt.restype = ctypes.c_int
+            lib.kt_seg_intervals.restype = ctypes.c_int
+            lib.kt_seg_intervals.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ]
             lib.kt_build_bwt.argtypes = [
                 ctypes.c_void_p,  # codes
                 ctypes.c_void_p,  # seq_len

@@ -137,6 +137,24 @@ def extend_all(blocks, occ, C, codes, flen):
     )
 
 
+@partial(jax.jit, static_argnums=(5,))
+def extend_all_scored(blocks, occ, C, codes, flen, min_len):
+    """extend_all plus the order-independent MEM statistics on device:
+    maxl[f] = the maximal match length of fragment f under greedyExact
+    semantics, jstop[f] = the `i <= 1` break position (see
+    kaiju_tpu.engine.mem_fast).  Keeps the [F, L] maps on device; only the
+    [F] statistics need transfer."""
+    start, si0, si1 = extend_all(blocks, occ, C, codes, flen)
+    F, L = codes.shape
+    jgrid = jax.lax.broadcasted_iota(jnp.int32, (F, L), 1)
+    valid = jgrid < flen[:, None]
+    length = jgrid - start + 1
+    jstop = jnp.max(jnp.where(valid & (start <= 1), jgrid, -1), axis=1)
+    eligible = valid & (jgrid >= jstop[:, None]) & (length >= min_len)
+    maxl = jnp.max(jnp.where(eligible, length, 0), axis=1)
+    return start, si0, si1, maxl, jstop
+
+
 # ---------------------------------------------------------------------------
 # Right-anchored resumed extension (Greedy num_mm > 0 fragments)
 # ---------------------------------------------------------------------------
