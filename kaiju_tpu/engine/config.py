@@ -24,6 +24,9 @@ class KaijuConfig:
     seed_length: int = 7
     use_Evalue: bool = True
     min_Evalue: float = 0.01
+    # kaijux/kaijup: no taxonomy, report DB sequence names
+    # (reference: src/ConsumerThreadx.cpp, ConsumerThreadp.cpp)
+    taxonomy_free: bool = False
 
     def validate(self) -> None:
         if self.mode not in (MEM, GREEDY):

@@ -165,6 +165,10 @@ class ClassifyResult:
     match_ids: list = field(default_factory=list)
     match_dbnames: list = field(default_factory=list)
     match_fragments: list = field(default_factory=list)
+    # taxonomy-free U-line variant: early-outs print "U\tname\t0", a failed
+    # search prints "U\tname" (reference: ConsumerThreadx.cpp:204/248,
+    # ConsumerThreadp.cpp:17/64/85)
+    u_zero: bool = True
 
 
 def _calc_score(seq: str, start: int, length: int, diff: int) -> int:
@@ -275,6 +279,11 @@ class ReadClassifier:
         for key, frag in src.items:
             self._push(state, key, Fragment(frag))
 
+        if cfg.taxonomy_free and cfg.input_is_protein and not state["q"]:
+            # kaijup: no fragments -> U with trailing 0
+            # (reference: ConsumerThreadp.cpp:62-66)
+            return ClassifyResult(False, 0)
+
         if cfg.mode == MEM:
             result = yield from self._run_length(state)
         else:
@@ -293,9 +302,16 @@ class ReadClassifier:
             if f is None:
                 break
             ext = yield ExtendAll(f.seq)
-            si = greedy_exact_from_map(
-                ext, max(cfg.min_fragment_length, longest), -1
-            )
+            if cfg.taxonomy_free:
+                # kaijux MEM uses maxMatches with cap 1 instead of
+                # greedyExact (reference: ConsumerThreadx.cpp:135)
+                si = max_matches_from_map(
+                    ext, max(cfg.min_fragment_length, longest), 1
+                )
+            else:
+                si = greedy_exact_from_map(
+                    ext, max(cfg.min_fragment_length, longest), -1
+                )
             if si is None:
                 continue
             if si.ql > longest:
@@ -308,7 +324,7 @@ class ReadClassifier:
                 if cfg.verbose:
                     match_fragments.append(f.seq[si.qi : si.qi + si.ql])
         if not matches:
-            return ClassifyResult(False, 0)
+            return ClassifyResult(False, 0, u_zero=False)
         si_order = [node for m in matches for node in walk_samelen(m)]
         result = yield from self._resolve_and_finish(
             si_order, longest, match_fragments
@@ -392,7 +408,7 @@ class ReadClassifier:
             )
 
         if not best_sis:
-            return ClassifyResult(False, 0)
+            return ClassifyResult(False, 0, u_zero=False)
 
         if cfg.use_Evalue:
             bitscore = (LAMBDA * best_score - LN_K) / LN_2
@@ -402,7 +418,7 @@ class ReadClassifier:
                 * math.pow(2.0, -bitscore)
             )
             if evalue > cfg.min_Evalue:
-                return ClassifyResult(False, 0)
+                return ClassifyResult(False, 0, u_zero=False)
 
         si_order = [si for si, _ in best_sis]
         result = yield from self._resolve_and_finish(
@@ -476,6 +492,9 @@ class ReadClassifier:
         chunks; then the LCA + result assembly."""
         cfg = self.cfg
         idx = self.index
+        if cfg.taxonomy_free:
+            result = yield from self._resolve_names(si_order, score, match_fragments)
+            return result
         ids: set[int] = set()
         dbnames: set[str] = set()
         chunk_size = cfg.max_match_ids + 6
@@ -509,6 +528,39 @@ class ReadClassifier:
             score=score,
             match_ids=sorted(ids),
             match_dbnames=sorted(dbnames),
+            match_fragments=match_fragments,
+        )
+
+
+    def _resolve_names(self, si_order, score, match_fragments):
+        """kaijux/kaijup id resolution: DB sequence NAMES, deduped by
+        sequence and ordered by sequence index (the reference inserts
+        char* pointers into a std::set, whose order is the ids[] allocation
+        order = content rank; reference: ConsumerThreadx.cpp:258-290)."""
+        cfg = self.cfg
+        idx = self.index
+        iseqs: set[int] = set()
+        chunk_size = cfg.max_match_ids + 6
+        for si in si_order:
+            k = si.start
+            end = si.start + si.len
+            capped = False
+            while k < end and not capped:
+                n = min(chunk_size, end - k)
+                res = yield SaLookup(list(range(k, k + n)))
+                for iseq in res:
+                    if len(iseqs) > cfg.max_match_ids:
+                        capped = True
+                        break
+                    iseqs.add(iseq)
+                k += n
+        names = [idx.names[i] for i in sorted(iseqs)]
+        return ClassifyResult(
+            classified=True,
+            lca=0,
+            score=score,
+            match_ids=[],
+            match_dbnames=names,
             match_fragments=match_fragments,
         )
 
@@ -578,6 +630,16 @@ def drive_sync(gen, executor: SyncExecutor) -> ClassifyResult:
             req = gen.send(executor.serve(req))
     except StopIteration as stop:
         return stop.value
+
+
+def format_output_line_x(name: str, res: ClassifyResult) -> str:
+    """Taxonomy-free TSV line (reference: ConsumerThreadx.cpp:108-119,
+    183-195, 235-248)."""
+    if not res.classified:
+        return f"U\t{name}\t0\n" if res.u_zero else f"U\t{name}\n"
+    ids = "".join(f"{n}," for n in res.match_dbnames)
+    frags = "".join(f"{m}," for m in res.match_fragments)
+    return f"C\t{name}\t{res.score}\t{ids}\t{frags}\n"
 
 
 def format_output_line(name: str, res: ClassifyResult, verbose: bool) -> str:

@@ -1,26 +1,31 @@
-"""Vectorized MEM-mode batch pipeline.
+"""Vectorized MEM-mode batch pipeline (seeded, staged wavefront).
 
 Semantically identical to the coroutine path (and hence the reference),
-restructured for throughput by exploiting two order-independence facts of
-classify_length (reference: ConsumerThread.cpp:543-628, bwt.c:347-380):
+restructured for throughput.  Two order-independence facts of
+classify_length (reference: ConsumerThread.cpp:543-628, bwt.c:347-380)
+make this possible:
 
-1. greedyExact's result for a fragment depends only on its extension map:
-   with j_stop = the largest end position whose maximal extension reaches
-   query position <= 1 (the `i <= 1` break), the maximal match length is
-   max{ l_j : j >= j_stop, l_j >= min_len } and the tie set is
-   { j : l_j == maxl, j >= j_stop } — independent of the dynamic L bound,
-   because every tie satisfies j >= maxl-1 >= L-1 for any L <= maxl.
+1. greedyExact's outcome for a fragment is a pure function of its
+   per-end-position extension map: with j_stop = the largest end position
+   whose maximal extension reaches query position <= 1 (the `i <= 1`
+   break), maxl = max{ l_j : j >= j_stop, l_j >= min_len } and the tie set
+   is { j : l_j == maxl, j >= j_stop } — independent of the dynamic L
+   bound, because every tie satisfies j >= maxl-1 >= L-1 for any L <= maxl.
 2. The queue's early stop (top key < longest) only skips fragments whose
    key — an upper bound on their match length — is below the final
-   longest, so simulating the queue to exhaustion (a pure host replay of
-   keys and SEG splits, no index queries) yields the same searched set
-   restricted to fragments that can contribute, in the same pop order.
+   longest; simulating the queue to exhaustion (host-only: keys + SEG
+   splits) yields the same contributing set in the same pop order.
 
-Pipeline: fragment extraction (vectorized) -> queue simulation (host,
-native SEG) -> device wavefront batches over unique fragments with FIXED
-compile shapes, scoring on device (only [F] statistics come back over the
-host link) -> winner-row fetch for tie assembly -> round-batched SA
-resolution with the reference's id caps -> LCA.
+Execution plan per batch:
+  fragment extraction (C-speed)  ->  queue simulation (native SEG)
+  -> k-mer SEED of every (fragment, end-position) lane on host: the first
+     K backward steps come from precomputed tables, so most junk lanes
+     never touch the device (kaiju_tpu.ops.kmer)
+  -> staged device extension of surviving lanes with host compaction
+     between stages (fused single-gather rank records; XLA TPU gathers
+     are row-rate-bound, so gather count is the budget)
+  -> bulk scoring, tie assembly in pop order
+  -> round-batched SA resolution with the reference's id caps -> LCA.
 """
 
 from __future__ import annotations
@@ -34,14 +39,14 @@ from ..index.alphabet import trans_table
 from ..index.core import KaijuIndex, parse_taxid
 from ..io.taxonomy import Taxonomy
 from ..ops import device_index as dev
+from ..ops.kmer import KmerTables
 from .config import KaijuConfig
 from .core import ClassifyResult
 from .fragments_fast import FastFragmentSource
 
-F_ROWS = 2048  # fragment rows per device call
-L_MAIN = 256  # single main fragment-length bucket (compile-shape stable)
-L_BIG = 2048  # fallback for long protein-mode fragments
 SA_ROWS = 32768  # fixed SA-walk batch shape
+STAGE_ROWS = 32768  # fixed extension-stage lane count (single compile shape)
+STAGE_STEPS = 32  # steps per stage call
 
 
 class MemFastPipeline:
@@ -51,12 +56,15 @@ class MemFastPipeline:
         taxonomy: Optional[Taxonomy],
         config: KaijuConfig,
         device_index: Optional[dev.DeviceIndex] = None,
+        kmer_tables: Optional[KmerTables] = None,
+        kmer_cache_dir: Optional[str] = None,
     ):
         assert config.mode == "mem"
         self.cfg = config
         self.index = index
         self.tax = taxonomy
         self.dev = device_index or dev.DeviceIndex(index)
+        self.kmer = kmer_tables or KmerTables.load_or_build(index, kmer_cache_dir)
         self._trans = trans_table(index.alphabet)
         if config.seg:
             from .seg_native import make_seg_filter
@@ -67,9 +75,9 @@ class MemFastPipeline:
             self._seg = None
         self._frag_ids: dict[str, int] = {}
         self._frags: list[str] = []
-        self._stats: list = []  # uid -> (gid, row, maxl, jstop, nlen)
-        self._groups: list = []  # gid -> (start_d, si0_d, si1_d)
-        self._rows: dict[int, tuple] = {}  # uid -> host rows
+        # uid -> (maxl, jstop, i[], si0[], si1[]) with arrays over
+        # j in [min_fragment_length-1, len)
+        self._stats: list = []
 
     # ---- SEG ----------------------------------------------------------
 
@@ -106,8 +114,6 @@ class MemFastPipeline:
                 src.add_dna(seq2)
 
         if self._seg is None:
-            # pop order == sort by (-key, insertion seq); fragments are
-            # searched as-is
             return [
                 frag
                 for _k, _n, frag in sorted(
@@ -143,7 +149,7 @@ class MemFastPipeline:
             n += 1
         return n
 
-    # ---- device batches ----------------------------------------------
+    # ---- map computation: seed + staged extension --------------------
 
     def _uid(self, frag: str) -> int:
         uid = self._frag_ids.get(frag)
@@ -155,85 +161,111 @@ class MemFastPipeline:
         return uid
 
     def _compute_maps(self, uids: list[int]) -> None:
+        cfg = self.cfg
         todo = [u for u in dict.fromkeys(uids) if self._stats[u] is None]
         if not todo:
             return
-        main = [u for u in todo if len(self._frags[u]) <= L_MAIN]
-        big = [u for u in todo if len(self._frags[u]) > L_MAIN]
-        for group_src, L in ((main, L_MAIN), (big, L_BIG)):
-            for pos in range(0, len(group_src), F_ROWS):
-                self._run_group(group_src[pos : pos + F_ROWS], L)
+        j0 = cfg.min_fragment_length - 1
+        F = len(todo)
+        L = max(len(self._frags[u]) for u in todo)
 
-    def _run_group(self, group: list[int], L: int) -> None:
-        cfg = self.cfg
-        codes = np.zeros((F_ROWS, L), dtype=np.uint8)
-        flen = np.zeros(F_ROWS, dtype=np.int32)
-        for i, u in enumerate(group):
-            s = self._frags[u]
-            raw = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+        codes = np.zeros((F, L), dtype=np.uint8)
+        flen = np.zeros(F, dtype=np.int64)
+        for fi, u in enumerate(todo):
+            raw = np.frombuffer(self._frags[u].encode("ascii"), dtype=np.uint8)
             e = self._trans[raw].astype(np.uint8)
-            codes[i, : len(e)] = e
-            flen[i] = len(e)
-        start_d, si0_d, si1_d, maxl_d, jstop_d = dev.extend_all_scored(
-            self.dev.blocks, self.dev.occ, self.dev.C, codes, flen,
-            cfg.min_fragment_length,
-        )
-        maxl = np.asarray(maxl_d)
-        jstop = np.asarray(jstop_d)
-        gid = len(self._groups)
-        self._groups.append((start_d, si0_d, si1_d))
-        for i, u in enumerate(group):
-            self._stats[u] = (gid, i, int(maxl[i]), int(jstop[i]), int(flen[i]))
+            codes[fi, : len(e)] = e
+            flen[fi] = len(e)
 
-    def _fetch_rows(self, uids: list[int]) -> None:
-        """Pull [L] map rows for winner fragments, grouped per device call."""
-        need = [u for u in dict.fromkeys(uids) if u not in self._rows]
-        if not need:
-            return
-        by_gid: dict[int, list[int]] = {}
-        for u in need:
-            by_gid.setdefault(self._stats[u][0], []).append(u)
-        for gid, us in by_gid.items():
-            start_d, si0_d, si1_d = self._groups[gid]
-            rows = np.array([self._stats[u][1] for u in us], dtype=np.int32)
-            s = np.asarray(start_d[rows])
-            a = np.asarray(si0_d[rows])
-            b = np.asarray(si1_d[rows])
-            for t, u in enumerate(us):
-                nlen = self._stats[u][4]
-                self._rows[u] = (s[t, :nlen], a[t, :nlen], b[t, :nlen])
+        depth, i_arr, si0, si1, alive, valid = self.kmer.seed(codes, flen, j0)
+
+        # staged extension of surviving lanes
+        af, aj = np.nonzero(alive)
+        if len(af):
+            lane_i = i_arr[af, aj].astype(np.int32)
+            lane_s0 = si0[af, aj].astype(np.int32)
+            lane_s1 = si1[af, aj].astype(np.int32)
+            lane_f = af.astype(np.int64)
+            while len(lane_i):
+                n_run = min(len(lane_i), STAGE_ROWS)
+                run = slice(0, n_run)
+                # host-side code window: stage_codes[n, t] = codes at
+                # position i-1-t of lane n's fragment (0 past the start)
+                tgrid = np.arange(STAGE_STEPS, dtype=np.int64)[None, :]
+                pos = lane_i[run, None].astype(np.int64) - 1 - tgrid
+                sc = np.zeros((STAGE_ROWS, STAGE_STEPS), dtype=np.uint8)
+                gathered = codes[lane_f[run, None], np.clip(pos, 0, L - 1)]
+                sc[:n_run] = np.where(pos >= 0, gathered, 0)
+                pi = np.zeros(STAGE_ROWS, dtype=np.int32)
+                p0 = np.zeros(STAGE_ROWS, dtype=np.int32)
+                p1 = np.ones(STAGE_ROWS, dtype=np.int32)
+                pi[:n_run] = lane_i[run]
+                p0[:n_run] = lane_s0[run]
+                p1[:n_run] = lane_s1[run]
+                ri, r0, r1, ract = (
+                    np.asarray(a)[:n_run]
+                    for a in dev.extend_stage(
+                        self.dev.rec, self.dev.C, sc, pi, p0, p1, STAGE_STEPS
+                    )
+                )
+                # write back results for the lanes just run
+                raf, raj = af[run], aj[run]
+                i_arr[raf, raj] = ri
+                si0[raf, raj] = r0
+                si1[raf, raj] = r1
+                # survivors of this chunk + lanes not yet run
+                still = ract & (ri > 0)
+                keep_f = np.concatenate([raf[still], af[n_run:]])
+                keep_j = np.concatenate([raj[still], aj[n_run:]])
+                keep_i = np.concatenate([ri[still], lane_i[n_run:]])
+                keep_s0 = np.concatenate([r0[still], lane_s0[n_run:]])
+                keep_s1 = np.concatenate([r1[still], lane_s1[n_run:]])
+                af, aj = keep_f, keep_j
+                lane_i, lane_s0, lane_s1 = keep_i, keep_s0, keep_s1
+                lane_f = af.astype(np.int64)
+
+        # bulk per-fragment statistics
+        jgrid = np.arange(L, dtype=np.int64)[None, :]
+        l = jgrid - i_arr + 1
+        jstop = np.where(valid & (i_arr <= 1), jgrid, -1).max(axis=1)
+        eligible = valid & (jgrid >= jstop[:, None]) & (
+            l >= cfg.min_fragment_length
+        )
+        maxl = np.where(eligible, l, 0).max(axis=1)
+
+        for fi, u in enumerate(todo):
+            n = int(flen[fi])
+            self._stats[u] = (
+                int(maxl[fi]),
+                int(jstop[fi]),
+                i_arr[fi, j0:n],
+                si0[fi, j0:n],
+                si1[fi, j0:n],
+            )
 
     # ---- per-read assembly -------------------------------------------
 
-    def _assemble(self, order: list[str]):
-        """(longest, [SI ranges in enumeration order], verbose strings)."""
+    def _assemble(self, order: list[str], longest: int):
+        """([SI ranges in enumeration order], verbose strings)."""
         cfg = self.cfg
-        longest = 0
-        for frag in order:
-            longest = max(longest, self._stats[self._frag_ids[frag]][2])
-        if longest == 0:
-            return 0, [], []
+        j0 = cfg.min_fragment_length - 1
         ranges = []
         verbose_frags = []
         for frag in order:
-            uid = self._frag_ids[frag]
-            _gid, _row, maxl, jstop, _nlen = self._stats[uid]
+            maxl, jstop, i_arr, si0, si1 = self._stats[self._frag_ids[frag]]
             if maxl != longest:
                 continue
-            start, si0, si1 = self._rows[uid]
-            n = len(start)
-            js = [
-                j
-                for j in range(max(jstop, 0), n)
-                if j - start[j] + 1 == longest
-            ]
+            jrel = np.arange(j0, j0 + len(i_arr))
+            ties = np.nonzero(
+                (jrel - i_arr + 1 == longest) & (jrel >= jstop)
+            )[0]
             # greedyExact chains ties newest-first => ascending j already
-            for j in js:
-                ranges.append((int(si0[j]), int(si1[j])))
-            if cfg.verbose and js:
-                qi = int(start[js[0]])
+            for t in ties:
+                ranges.append((int(si0[t]), int(si1[t])))
+            if cfg.verbose and len(ties):
+                qi = int(i_arr[ties[0]])
                 verbose_frags.append(frag[qi : qi + longest])
-        return longest, ranges, verbose_frags
+        return ranges, verbose_frags
 
     # ---- batched SA resolution ---------------------------------------
 
@@ -250,10 +282,10 @@ class MemFastPipeline:
             karr[: len(part)] = part
             iseq, _pos = (
                 np.asarray(a)
-                for a in dev.sa_lookup(
-                    self.dev.blocks, self.dev.occ, self.dev.C,
+                for a in dev.sa_lookup_fused(
+                    self.dev.rec, self.dev.C,
                     self.dev.sa_seq, self.dev.sa_off,
-                    idx.nseq, karr, idx.chpt_exp,
+                    idx.nseq, idx.chpt_exp, karr,
                 )
             )
             for t, k in enumerate(part):
@@ -330,36 +362,25 @@ class MemFastPipeline:
         orders = [self._searched_fragments(*r) for r in reads]
         self._compute_maps([self._uid(f) for o in orders if o for f in o])
 
-        # winner fragments (those that can tie for a read's longest)
-        winners: list[int] = []
-        read_longest: list[int] = []
+        assembled = []
+        read_longest = []
         for order in orders:
             if not order:
                 read_longest.append(0)
+                assembled.append(([], []))
                 continue
-            longest = max(
-                self._stats[self._frag_ids[f]][2] for f in order
-            )
+            longest = max(self._stats[self._frag_ids[f]][0] for f in order)
             read_longest.append(longest)
-            if longest > 0:
-                for f in order:
-                    uid = self._frag_ids[f]
-                    if self._stats[uid][2] == longest:
-                        winners.append(uid)
-        self._fetch_rows(winners)
-
-        assembled = []
-        for order, longest in zip(orders, read_longest):
-            if not order or longest == 0:
-                assembled.append((0, [], []))
+            if longest == 0:
+                assembled.append(([], []))
             else:
-                assembled.append(self._assemble(order))
+                assembled.append(self._assemble(order, longest))
 
-        resolved = self._resolve_ids([a[1] for a in assembled])
+        resolved = self._resolve_ids([a[0] for a in assembled])
 
         out = []
-        for (name, _s1, _s2), (longest, _r, vfrags), (ids, dbnames) in zip(
-            reads, assembled, resolved
+        for (name, _s1, _s2), longest, (_r, vfrags), (ids, dbnames) in zip(
+            reads, read_longest, assembled, resolved
         ):
             if longest == 0 or not ids:
                 out.append((name, ClassifyResult(False, 0)))

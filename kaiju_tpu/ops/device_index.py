@@ -23,6 +23,34 @@ import numpy as np
 from ..index.core import BLOCK, KaijuIndex
 
 
+def build_fused_records(index: KaijuIndex) -> np.ndarray:
+    """Fused rank records: one int32 [nb+1, 64] row per BWT block.
+
+    Words 0..31 = the occ checkpoint row; words 32..63 = the 128 BWT bytes
+    little-endian packed 4-per-word.  A rank query then needs ONE row
+    gather instead of two (XLA TPU gathers are row-rate bound, so this
+    halves the hot-loop cost).  The extra final row covers k == length at
+    a block boundary (occ end counts; padding bytes are PAD_CODE so they
+    never match a letter).
+    """
+    blocks = np.asarray(index.bwt).reshape(-1, BLOCK)
+    occ = np.asarray(index.occ, dtype=np.int32)
+    nb = blocks.shape[0]
+    rec = np.zeros((nb + 1, 64), dtype=np.int32)
+    rec[:, :32] = occ[: nb + 1]
+    packed = blocks.astype(np.uint32)
+    words = (
+        packed[:, 0::4]
+        | (packed[:, 1::4] << 8)
+        | (packed[:, 2::4] << 16)
+        | (packed[:, 3::4] << 24)
+    )
+    rec[:nb, 32:] = words.view(np.int32)
+    pad31 = np.uint32(31 | (31 << 8) | (31 << 16) | (31 << 24))
+    rec[nb, 32:] = np.full(32, pad31, dtype=np.uint32).view(np.int32)
+    return rec
+
+
 class DeviceIndex:
     """Immutable device arrays for one index shard."""
 
@@ -31,6 +59,7 @@ class DeviceIndex:
         self.blocks = put(np.asarray(index.bwt).reshape(-1, BLOCK))
         self.occ = put(np.asarray(index.occ, dtype=np.int32))
         self.C = put(np.asarray(index.C, dtype=np.int32))
+        self.rec = put(build_fused_records(index))
         self.sa_seq = put(np.asarray(index.sa_seq, dtype=np.int32))
         self.sa_off = put(np.asarray(index.sa_off, dtype=np.int32))
         self.length = int(index.length)
@@ -41,6 +70,65 @@ class DeviceIndex:
     @property
     def arrays(self):
         return (self.blocks, self.occ, self.C)
+
+
+def _unpack_row(row):
+    """[N, 64] fused row -> (occ_row [N, 32], bwt bytes [N, 128] int32)."""
+    w = row[:, 32:].astype(jnp.uint32)
+    b0 = w & 255
+    b1 = (w >> 8) & 255
+    b2 = (w >> 16) & 255
+    b3 = (w >> 24) & 255
+    bytes_ = jnp.stack([b0, b1, b2, b3], axis=-1).reshape(row.shape[0], BLOCK)
+    return row[:, :32], bytes_.astype(jnp.int32)
+
+
+def rank_fused(rec, C, c, k):
+    """fmindex via one fused-record gather per query."""
+    b = k >> 7
+    nb1 = rec.shape[0]
+    row = rec[jnp.minimum(b, nb1 - 1)]
+    occ_row, bytes_ = _unpack_row(row)
+    base = jnp.take_along_axis(occ_row, c[:, None], axis=1)[:, 0]
+    off = k & (BLOCK - 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, bytes_.shape, 1)
+    cnt = jnp.sum(
+        (bytes_ == c[:, None]) & (lanes < off[:, None]), axis=1, dtype=jnp.int32
+    )
+    return C[c] + base + cnt
+
+
+@partial(jax.jit, static_argnums=(6,))
+def extend_stage(rec, C, stage_codes, i, si0, si1, steps):
+    """Run `steps` backward-extension steps on flat lanes.
+
+    stage_codes[n, t] = the t-th character to extend for lane n (already
+    host-sliced from the fragment, 0-padded past the lane's start), i.e.
+    codes[i0 - 1 - t].  Returns updated (i, si0, si1, active).
+    """
+
+    def cond(state):
+        t, i, si0, si1, active = state
+        return (t < steps) & jnp.any(active)
+
+    def body(state):
+        t, i, si0, si1, active = state
+        c = jax.lax.dynamic_slice_in_dim(stage_codes, t, 1, axis=1)[:, 0]
+        c = c.astype(jnp.int32)
+        ext = active & (i > 0) & (c > 0)
+        n0 = rank_fused(rec, C, c, si0)
+        n1 = rank_fused(rec, C, c, si1)
+        ok = ext & (n0 < n1)
+        si0 = jnp.where(ok, n0, si0)
+        si1 = jnp.where(ok, n1, si1)
+        i = jnp.where(ok, i - 1, i)
+        return t + 1, i, si0, si1, ok
+
+    active = jnp.ones(i.shape, dtype=bool)
+    _, i, si0, si1, active = jax.lax.while_loop(
+        cond, body, (0, i, si0, si1, active)
+    )
+    return i, si0, si1, active
 
 
 # ---------------------------------------------------------------------------
@@ -206,6 +294,61 @@ def probe_updates(blocks, occ, C, c, si0, si1):
     n0 = fmindex(blocks, occ, C, c, si0)
     n1 = fmindex(blocks, occ, C, c, si1)
     return n0, n1, n0 < n1
+
+
+@partial(jax.jit, static_argnums=(5,))
+def sa_lookup_fused(rec, C, sa_seq, sa_off, nseq, chpt_exp, k0):
+    """Batched get_suffix via fused records (one gather per walk step)."""
+    check = (1 << chpt_exp) - 1
+    N = k0.shape[0]
+    nb1 = rec.shape[0]
+
+    def sample(k, steps):
+        idx = (k >> chpt_exp) - ((nseq - 1) >> chpt_exp) - 1
+        idx = jnp.clip(idx, 0, sa_seq.shape[0] - 1)
+        return sa_seq[idx], sa_off[idx] + steps
+
+    k = k0
+    steps = jnp.zeros(N, dtype=jnp.int32)
+    done = (k & check) == 0
+    iseq, pos = sample(k, steps)
+
+    def cond(state):
+        k, steps, done, iseq, pos = state
+        return jnp.any(~done)
+
+    def body(state):
+        k, steps, done, iseq, pos = state
+        b = k >> 7
+        row = rec[jnp.minimum(b, nb1 - 1)]
+        occ_row, bytes_ = _unpack_row(row)
+        off = k & (BLOCK - 1)
+        c = jnp.take_along_axis(bytes_, off[:, None], axis=1)[:, 0]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, bytes_.shape, 1)
+        cnt = jnp.sum(
+            (bytes_ == c[:, None]) & (lanes < off[:, None]),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        base = jnp.take_along_axis(occ_row, c[:, None], axis=1)[:, 0]
+        k_new = C[c] + base + cnt
+        hit_term = ~done & (c == 0)
+        iseq = jnp.where(hit_term, k_new, iseq)
+        pos = jnp.where(hit_term, steps, pos)
+        stepping = ~done & ~hit_term
+        k = jnp.where(stepping, k_new, k)
+        steps = jnp.where(stepping, steps + 1, steps)
+        at_chk = stepping & ((k & check) == 0)
+        s_iseq, s_pos = sample(k, steps)
+        iseq = jnp.where(at_chk, s_iseq, iseq)
+        pos = jnp.where(at_chk, s_pos, pos)
+        done = done | hit_term | at_chk
+        return k, steps, done, iseq, pos
+
+    _, _, _, iseq, pos = jax.lax.while_loop(
+        cond, body, (k, steps, done, iseq, pos)
+    )
+    return iseq, pos
 
 
 # ---------------------------------------------------------------------------

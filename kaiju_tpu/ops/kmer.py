@@ -1,0 +1,188 @@
+"""K-mer seed tables: precomputed backward-search intervals.
+
+For every k-mer (over the 20 letter codes 1..20) up to depth K, the SA
+interval after k backward-extension steps is precomputed.  Seeding a lane
+with its trailing k-mer replaces the first K extension steps with host
+table lookups — most non-matching end positions die inside the table and
+never issue a device rank query at all.
+
+This is new relative to the reference (which starts every extension from
+scratch, bwt.c:267-269) but exact: the table IS the first K steps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..index.core import KaijuIndex
+
+NLET = 20  # letter codes 1..20 (makedb alphabet)
+
+
+def default_depth(index: KaijuIndex) -> int:
+    """Deep enough that a random k-mer is likely absent (kills junk lanes
+    at seed time), capped by table memory (20^K * 16 B)."""
+    import math
+
+    k = math.ceil(math.log(max(index.length, 2), NLET)) + 1
+    return max(4, min(6, k))
+
+
+class KmerTables:
+    """tables[d] = (si0, si1) int64 arrays of size NLET^d, d = 1..K.
+
+    Index of k-mer c_1..c_d (c_1 = leftmost, letter codes 1..20):
+    sum (c_i - 1) * NLET^(d-i).
+    """
+
+    def __init__(self, tables: list[tuple[np.ndarray, np.ndarray]]):
+        self.tables = tables
+        self.K = len(tables)
+
+    @classmethod
+    def build(cls, index: KaijuIndex, K: int | None = None) -> "KmerTables":
+        K = K or default_depth(index)
+        # materialize (the index may be mmap-backed; fancy indexing on a
+        # memmap is pathologically slow)
+        blocks = np.ascontiguousarray(index.blocks)
+        occ = np.ascontiguousarray(index.occ)
+        C = np.ascontiguousarray(index.C)
+        lanes = np.arange(128, dtype=np.int64)
+
+        def fmindex(c, k):
+            b = k >> 7
+            base = occ[b, c].astype(np.int64)
+            rows = blocks[np.minimum(b, len(blocks) - 1)]
+            off = (k & 127)[:, None]
+            cnt = ((rows == c[:, None]) & (lanes < off)).sum(axis=1)
+            return C[c] + base + cnt
+
+        tables = []
+        # depth 1: InitialSI per letter (reference: bwt.c:146-152)
+        codes = np.arange(1, NLET + 1, dtype=np.int64)
+        si0 = index.C[codes]
+        si1 = index.C[codes + 1]
+        tables.append((si0, si1))
+        chunk = 1 << 21
+        for _d in range(2, K + 1):
+            p0, p1 = tables[-1]
+            n = len(p0)
+            # prepend each letter c: new interval = UpdateSI(c, prev)
+            n0 = np.zeros(n * NLET, dtype=np.int64)
+            n1 = np.zeros(n * NLET, dtype=np.int64)
+            for ci, c in enumerate(codes):
+                for lo in range(0, n, chunk):
+                    hi = min(n, lo + chunk)
+                    s0 = p0[lo:hi]
+                    s1 = p1[lo:hi]
+                    alive = s0 < s1
+                    if not alive.any():
+                        continue
+                    carr = np.full(int(alive.sum()), c, dtype=np.int64)
+                    n0a = fmindex(carr, s0[alive])
+                    n1a = fmindex(carr, s1[alive])
+                    ok = n0a < n1a
+                    idx = ci * n + lo + np.flatnonzero(alive)[ok]
+                    n0[idx] = n0a[ok]
+                    n1[idx] = n1a[ok]
+            tables.append((n0, n1))
+        return cls(tables)
+
+    # ---- persistence --------------------------------------------------
+
+    def save(self, dirpath: str) -> None:
+        os.makedirs(dirpath, exist_ok=True)
+        for d, (s0, s1) in enumerate(self.tables, start=1):
+            np.save(os.path.join(dirpath, f"si0_{d}.npy"), s0)
+            np.save(os.path.join(dirpath, f"si1_{d}.npy"), s1)
+
+    @classmethod
+    def load_or_build(cls, index: KaijuIndex, cache_dir: str | None, K=None):
+        K = K or default_depth(index)
+        path = os.path.join(cache_dir, f"kmer{K}") if cache_dir else None
+        if path and os.path.exists(os.path.join(path, f"si0_{K}.npy")):
+            tables = [
+                (
+                    np.load(os.path.join(path, f"si0_{d}.npy")),
+                    np.load(os.path.join(path, f"si1_{d}.npy")),
+                )
+                for d in range(1, K + 1)
+            ]
+            return cls(tables)
+        t = cls.build(index, K)
+        if path:
+            try:
+                t.save(path)
+            except OSError:
+                pass
+        return t
+
+    # ---- seeding ------------------------------------------------------
+
+    @property
+    def nonempty(self) -> list[np.ndarray]:
+        """Per-depth bool arrays: table entry has a non-empty interval."""
+        ne = getattr(self, "_nonempty", None)
+        if ne is None:
+            ne = [s0 < s1 for s0, s1 in self.tables]
+            self._nonempty = ne
+        return ne
+
+    def seed(self, codes: np.ndarray, flen: np.ndarray, j0: int):
+        """Seed all lanes (fragment-row, end position j >= j0).
+
+        codes: [F, L] uint8 letter codes (1..20; 0 pad), flen: [F].
+        Returns per-lane [F, L] arrays (positions j < j0 or >= flen are
+        dead with depth 0):
+          depth:  reached depth d* (0..K)
+          i:      match start = j - d* + 1 (d*>0), j when dead at 0
+          si0/si1: interval at depth d* (0 when d* == 0)
+          alive:  extension may continue (d* == min(K, j+1) and i > 0)
+
+        Uses the suffix-monotonicity of k-mer presence (a present d-mer has
+        a present (d-1)-suffix), so the reached depth is simply the SUM of
+        per-depth presence flags — no iterative descent.
+        """
+        F, L = codes.shape
+        K = self.K
+        c32 = codes.astype(np.int32)
+        jgrid = np.arange(L, dtype=np.int32)[None, :]
+        valid = (jgrid < flen[:, None]) & (jgrid >= j0)
+
+        ne = self.nonempty
+        # depth = sum of presence over usable depths
+        depth = np.zeros((F, L), dtype=np.int32)
+        ids_prev = c32 - 1  # depth-1 ids (invalid where pad, see mask)
+        dv = np.minimum(K, jgrid + 1)
+        depth += (dv >= 1) & ne[0][np.clip(ids_prev, 0, None)]
+        id_by_depth = [ids_prev]
+        for d in range(2, K + 1):
+            ids_d = np.zeros((F, L), dtype=np.int32)
+            ids_d[:, d - 1 :] = (
+                (c32[:, : L - d + 1] - 1) * (NLET ** (d - 1))
+                + ids_prev[:, d - 1 :]
+            )
+            id_by_depth.append(ids_d)
+            depth += (dv >= d) & ne[d - 1][ids_d]
+            ids_prev = ids_d
+        depth = np.where(valid, depth, 0)
+
+        # one interval gather at the reached depth (grouped by depth)
+        si0 = np.zeros((F, L), dtype=np.int64)
+        si1 = np.zeros((F, L), dtype=np.int64)
+        for d in range(1, K + 1):
+            sel = depth == d
+            if not sel.any():
+                continue
+            t0, t1 = self.tables[d - 1]
+            idx = id_by_depth[d - 1][sel]
+            si0[sel] = t0[idx]
+            si1[sel] = t1[idx]
+        # depth 0 (letter absent from DB): the reference still counts a
+        # length-1 pseudo-match (InitialSI is not emptiness-checked,
+        # bwt.c:269-274) => i = j
+        i = np.where(depth > 0, jgrid - depth + 1, jgrid)
+        alive = valid & (depth == dv) & (depth > 0) & (i > 0)
+        return depth, i, si0, si1, alive, valid

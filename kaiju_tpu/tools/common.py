@@ -1,0 +1,91 @@
+"""Shared CLI plumbing: index loading, engine selection, output streams."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from ..engine.config import KaijuConfig
+from ..index.core import KaijuIndex
+
+
+def load_index(path: str) -> KaijuIndex:
+    """Load either a reference-format .fmi file or a ktx directory."""
+    if os.path.isdir(path):
+        return KaijuIndex.load(path)
+    from ..index import fmi_reader
+
+    return fmi_reader.read_fmi(path)
+
+
+def open_output(path: str | None):
+    if path:
+        return open(path, "w")
+    return sys.stdout
+
+
+def make_runner(index, taxonomy, cfg: KaijuConfig):
+    """Best engine for the configuration: the vectorized MEM pipeline when
+    applicable, the coroutine batch runner otherwise."""
+    if cfg.mode == "mem" and not cfg.taxonomy_free:
+        from ..engine.mem_fast import MemFastPipeline
+
+        kmer_dir = os.environ.get("KAIJU_TPU_CACHE")
+        return MemFastPipeline(index, taxonomy, cfg, kmer_cache_dir=kmer_dir)
+    from ..engine.batch import BatchRunner
+
+    return BatchRunner(index, taxonomy, cfg)
+
+
+def classify_stream(runner, reads_iter, out, cfg: KaijuConfig, batch_size=4096):
+    """Stream reads in batches through the runner, writing TSV lines."""
+    from ..engine.core import format_output_line, format_output_line_x
+    from ..io.fastx import batched
+
+    for batch in batched(reads_iter, batch_size):
+        for name, res in runner.classify_batch(batch):
+            if cfg.taxonomy_free:
+                out.write(format_output_line_x(name, res))
+            else:
+                out.write(format_output_line(name, res, cfg.verbose))
+        out.flush()
+
+
+def add_engine_args(ap, protein_tool=False):
+    ap.add_argument("-f", dest="fmi", required=True, help="database (.fmi or .ktx) file")
+    ap.add_argument("-i", dest="input1", required=True, help="input reads (FASTA/FASTQ)")
+    if not protein_tool:
+        ap.add_argument("-j", dest="input2", help="second file for paired-end reads")
+    ap.add_argument("-o", dest="output", help="output file (default: stdout)")
+    ap.add_argument("-z", dest="threads", type=int, default=1, help="worker threads (compat; batching is automatic)")
+    ap.add_argument("-a", dest="mode", choices=["mem", "greedy"], default="greedy")
+    ap.add_argument("-e", dest="mismatches", type=int, default=3)
+    ap.add_argument("-m", dest="min_fragment_length", type=int, default=11)
+    ap.add_argument("-s", dest="min_score", type=int, default=65)
+    ap.add_argument("-E", dest="min_evalue", type=float, default=0.01)
+    ap.add_argument("-l", dest="seed_length", type=int, default=7)
+    ap.add_argument("-x", dest="seg", action="store_true", default=True,
+                    help="enable SEG low complexity filter (default)")
+    ap.add_argument("-X", dest="seg", action="store_false",
+                    help="disable SEG low complexity filter")
+    ap.add_argument("-v", dest="verbose", action="store_true")
+    ap.add_argument("-b", dest="batch_size", type=int, default=4096,
+                    help="reads per device batch")
+
+
+def config_from_args(args, taxonomy_free=False, protein=False) -> KaijuConfig:
+    cfg = KaijuConfig(
+        mode=args.mode,
+        seg=args.seg,
+        verbose=args.verbose,
+        min_fragment_length=args.min_fragment_length,
+        mismatches=args.mismatches,
+        min_score=args.min_score,
+        seed_length=args.seed_length,
+        min_Evalue=args.min_evalue,
+        use_Evalue=(args.mode == "greedy"),
+        taxonomy_free=taxonomy_free,
+        input_is_protein=protein or getattr(args, "protein", False),
+    )
+    cfg.validate()
+    return cfg
