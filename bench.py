@@ -112,7 +112,9 @@ def run_mine(index, nodes, reads):
     log(f"bench: jax devices = {jax.devices()}")
     cfg = KaijuConfig(mode="mem", seg=True, use_Evalue=False)
     tax = Taxonomy(parse_nodes_dmp(nodes))
-    pipe = MemFastPipeline(index, tax, cfg)
+    pipe = MemFastPipeline(
+        index, tax, cfg, kmer_cache_dir=os.path.join(CACHE, "db.ktx")
+    )
     items = [(n, s, None) for n, s in reads]
     # warmup on a slice (compiles the shape buckets)
     t0 = time.time()

@@ -39,14 +39,15 @@ from ..index.alphabet import trans_table
 from ..index.core import KaijuIndex, parse_taxid
 from ..io.taxonomy import Taxonomy
 from ..ops import device_index as dev
+from ..ops.fused_mem2 import fused_mem_search2
 from ..ops.kmer import KmerTables
 from .config import KaijuConfig
 from .core import ClassifyResult
 from .fragments_fast import FastFragmentSource
 
 SA_ROWS = 32768  # fixed SA-walk batch shape
-STAGE_ROWS = 32768  # fixed extension-stage lane count (single compile shape)
-STAGE_STEPS = 32  # steps per stage call
+SEED_K = 5  # packed seed-record depth for the fused device search
+TIE_CAP = 8  # per-fragment tie list width returned by the fused search
 
 
 class MemFastPipeline:
@@ -63,8 +64,20 @@ class MemFastPipeline:
         self.cfg = config
         self.index = index
         self.tax = taxonomy
+        from ..utils import enable_compile_cache
+
+        enable_compile_cache()
         self.dev = device_index or dev.DeviceIndex(index)
-        self.kmer = kmer_tables or KmerTables.load_or_build(index, kmer_cache_dir)
+        want_K = min(SEED_K, config.min_fragment_length)
+        self.kmer = kmer_tables or KmerTables.load_or_build(
+            index, kmer_cache_dir, K=want_K, device_index=self.dev
+        )
+        self.seed_K = min(want_K, self.kmer.K)
+        import jax
+
+        self._seed_rec = jax.device_put(self.kmer.packed_seed_rec(self.seed_K))
+        self._rem_frac = 0.5  # running estimate of the phase-2 lane fraction
+        self._ms = 32768  # survivor-lane capacity of the completion loops
         self._trans = trans_table(index.alphabet)
         if config.seg:
             from .seg_native import make_seg_filter
@@ -75,8 +88,7 @@ class MemFastPipeline:
             self._seg = None
         self._frag_ids: dict[str, int] = {}
         self._frags: list[str] = []
-        # uid -> (maxl, jstop, i[], si0[], si1[]) with arrays over
-        # j in [min_fragment_length-1, len)
+        # uid -> (maxl, [(tie j, si0, si1) ascending j])
         self._stats: list = []
 
     # ---- SEG ----------------------------------------------------------
@@ -160,110 +172,124 @@ class MemFastPipeline:
             self._stats.append(None)
         return uid
 
+    @staticmethod
+    def _bucket(n: int, lo: int) -> int:
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
     def _compute_maps(self, uids: list[int]) -> None:
+        """One fused device call computes every new fragment's MEM
+        statistics: maxl and the ascending-j tie list (j, si0, si1).
+        Stored per uid as (maxl, ties)."""
         cfg = self.cfg
         todo = [u for u in dict.fromkeys(uids) if self._stats[u] is None]
         if not todo:
             return
         j0 = cfg.min_fragment_length - 1
-        F = len(todo)
-        L = max(len(self._frags[u]) for u in todo)
+        K = self.seed_K
+        F = self._bucket(len(todo), 256)
 
-        codes = np.zeros((F, L), dtype=np.uint8)
-        flen = np.zeros(F, dtype=np.int64)
-        for fi, u in enumerate(todo):
+        encoded = []
+        for u in todo:
             raw = np.frombuffer(self._frags[u].encode("ascii"), dtype=np.uint8)
-            e = self._trans[raw].astype(np.uint8)
-            codes[fi, : len(e)] = e
-            flen[fi] = len(e)
+            encoded.append(self._trans[raw].astype(np.uint8))
+        total = sum(len(e) for e in encoded)
+        P = self._bucket(total, 4096)
+        flat = np.zeros(P, dtype=np.uint8)
+        frag_off = np.full(F + 1, total, dtype=np.int32)
+        pos = 0
+        for fi, e in enumerate(encoded):
+            frag_off[fi] = pos
+            flat[pos : pos + len(e)] = e
+            pos += len(e)
+        frag_off[len(encoded):] = pos
 
-        depth, i_arr, si0, si1, alive, valid = self.kmer.seed(codes, flen, j0)
-
-        # staged extension of surviving lanes
-        af, aj = np.nonzero(alive)
-        if len(af):
-            lane_i = i_arr[af, aj].astype(np.int32)
-            lane_s0 = si0[af, aj].astype(np.int32)
-            lane_s1 = si1[af, aj].astype(np.int32)
-            lane_f = af.astype(np.int64)
-            while len(lane_i):
-                n_run = min(len(lane_i), STAGE_ROWS)
-                run = slice(0, n_run)
-                # host-side code window: stage_codes[n, t] = codes at
-                # position i-1-t of lane n's fragment (0 past the start)
-                tgrid = np.arange(STAGE_STEPS, dtype=np.int64)[None, :]
-                pos = lane_i[run, None].astype(np.int64) - 1 - tgrid
-                sc = np.zeros((STAGE_ROWS, STAGE_STEPS), dtype=np.uint8)
-                gathered = codes[lane_f[run, None], np.clip(pos, 0, L - 1)]
-                sc[:n_run] = np.where(pos >= 0, gathered, 0)
-                pi = np.zeros(STAGE_ROWS, dtype=np.int32)
-                p0 = np.zeros(STAGE_ROWS, dtype=np.int32)
-                p1 = np.ones(STAGE_ROWS, dtype=np.int32)
-                pi[:n_run] = lane_i[run]
-                p0[:n_run] = lane_s0[run]
-                p1[:n_run] = lane_s1[run]
-                ri, r0, r1, ract = (
-                    np.asarray(a)[:n_run]
-                    for a in dev.extend_stage(
-                        self.dev.rec, self.dev.C, sc, pi, p0, p1, STAGE_STEPS
-                    )
+        M2 = self._bucket(int(P * min(1.0, self._rem_frac * 1.4)), 4096)
+        M2 = min(M2, self._bucket(P, 4096))
+        Ms = self._ms
+        while True:
+            maxl, tie_j, tie_s0, tie_s1, tie_cnt, n2, n_surv = (
+                np.asarray(a)
+                for a in fused_mem_search2(
+                    self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
+                    False, K, j0, cfg.min_fragment_length, M2, TIE_CAP, Ms,
                 )
-                # write back results for the lanes just run
-                raf, raj = af[run], aj[run]
-                i_arr[raf, raj] = ri
-                si0[raf, raj] = r0
-                si1[raf, raj] = r1
-                # survivors of this chunk + lanes not yet run
-                still = ract & (ri > 0)
-                keep_f = np.concatenate([raf[still], af[n_run:]])
-                keep_j = np.concatenate([raj[still], aj[n_run:]])
-                keep_i = np.concatenate([ri[still], lane_i[n_run:]])
-                keep_s0 = np.concatenate([r0[still], lane_s0[n_run:]])
-                keep_s1 = np.concatenate([r1[still], lane_s1[n_run:]])
-                af, aj = keep_f, keep_j
-                lane_i, lane_s0, lane_s1 = keep_i, keep_s0, keep_s1
-                lane_f = af.astype(np.int64)
-
-        # bulk per-fragment statistics
-        jgrid = np.arange(L, dtype=np.int64)[None, :]
-        l = jgrid - i_arr + 1
-        jstop = np.where(valid & (i_arr <= 1), jgrid, -1).max(axis=1)
-        eligible = valid & (jgrid >= jstop[:, None]) & (
-            l >= cfg.min_fragment_length
-        )
-        maxl = np.where(eligible, l, 0).max(axis=1)
-
-        for fi, u in enumerate(todo):
-            n = int(flen[fi])
-            self._stats[u] = (
-                int(maxl[fi]),
-                int(jstop[fi]),
-                i_arr[fi, j0:n],
-                si0[fi, j0:n],
-                si1[fi, j0:n],
             )
+            n2, n_surv = int(n2), int(n_surv)
+            self._rem_frac = 0.7 * self._rem_frac + 0.3 * (n2 / max(1, P))
+            if n2 <= M2 and n_surv <= Ms:
+                break
+            M2 = min(self._bucket(max(M2, n2), 4096), self._bucket(P, 4096))
+            Ms = self._bucket(max(Ms, n_surv), 4096)
+            self._ms = Ms
+
+        overflow = [fi for fi in range(len(todo)) if tie_cnt[fi] > TIE_CAP]
+        full: dict[int, tuple] = {}
+        if overflow:
+            full = self._full_maps([todo[fi] for fi in overflow], encoded,
+                                   overflow, j0)
+        for fi, u in enumerate(todo):
+            if fi in full:
+                self._stats[u] = full[fi]
+                continue
+            ties = [
+                (int(tie_j[fi, t]), int(tie_s0[fi, t]), int(tie_s1[fi, t]))
+                for t in range(min(int(tie_cnt[fi]), TIE_CAP))
+            ]
+            self._stats[u] = (int(maxl[fi]), ties)
+
+    def _full_maps(self, us, encoded_all, rows, j0):
+        """Fallback for tie-cap overflow: full extension map for the given
+        fragments, ties recomputed on host (rare — repeat-heavy DBs)."""
+        cfg = self.cfg
+        enc = [encoded_all[fi] for fi in rows]
+        Fo = self._bucket(len(rows), 8)
+        L = self._bucket(max(len(e) for e in enc), 32)
+        oc = np.zeros((Fo, L), dtype=np.uint8)
+        ol = np.zeros(Fo, dtype=np.int64)
+        for t, e in enumerate(enc):
+            oc[t, : len(e)] = e
+            ol[t] = len(e)
+        start, si0, si1 = (
+            np.asarray(a)
+            for a in dev.extend_all(
+                self.dev.blocks, self.dev.occ, self.dev.C, oc, ol
+            )
+        )
+        out = {}
+        jg = np.arange(L, dtype=np.int64)
+        for t, fi in enumerate(rows):
+            n = int(ol[t])
+            valid = (jg >= j0) & (jg < n)
+            length = jg - start[t] + 1
+            jstop = int(np.where(valid & (start[t] <= 1), jg, -1).max())
+            eligible = valid & (jg >= jstop) & (length >= cfg.min_fragment_length)
+            maxl = int(np.where(eligible, length, 0).max())
+            ties = [
+                (int(j), int(si0[t, j]), int(si1[t, j]))
+                for j in np.nonzero(eligible & (length == maxl) & (maxl > 0))[0]
+            ]
+            out[fi] = (maxl, ties)
+        return out
 
     # ---- per-read assembly -------------------------------------------
 
     def _assemble(self, order: list[str], longest: int):
         """([SI ranges in enumeration order], verbose strings)."""
         cfg = self.cfg
-        j0 = cfg.min_fragment_length - 1
         ranges = []
         verbose_frags = []
         for frag in order:
-            maxl, jstop, i_arr, si0, si1 = self._stats[self._frag_ids[frag]]
+            maxl, ties = self._stats[self._frag_ids[frag]]
             if maxl != longest:
                 continue
-            jrel = np.arange(j0, j0 + len(i_arr))
-            ties = np.nonzero(
-                (jrel - i_arr + 1 == longest) & (jrel >= jstop)
-            )[0]
             # greedyExact chains ties newest-first => ascending j already
-            for t in ties:
-                ranges.append((int(si0[t]), int(si1[t])))
-            if cfg.verbose and len(ties):
-                qi = int(i_arr[ties[0]])
+            for j, s0, s1 in ties:
+                ranges.append((s0, s1))
+            if cfg.verbose and ties:
+                qi = ties[0][0] - longest + 1
                 verbose_frags.append(frag[qi : qi + longest])
         return ranges, verbose_frags
 

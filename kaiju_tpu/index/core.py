@@ -63,6 +63,7 @@ class KaijuIndex:
     seq_taxids: np.ndarray  # int64 [nseq], parsed from names
     seq_lengths: np.ndarray  # int64 [nseq]
     seq_term_order: np.ndarray  # int32 [nseq]: input index of content-rank r
+    source_dir: str | None = None  # ktx directory this index was loaded from
     _blocks: np.ndarray | None = field(default=None, repr=False)
 
     # ------------------------------------------------------------------
@@ -201,6 +202,7 @@ class KaijuIndex:
             seq_taxids=np.load(os.path.join(path, "seq_taxids.npy")),
             seq_lengths=np.load(os.path.join(path, "seq_lengths.npy")),
             seq_term_order=np.load(os.path.join(path, "seq_term_order.npy")),
+            source_dir=path,
         )
 
 

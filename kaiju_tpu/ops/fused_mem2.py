@@ -1,0 +1,253 @@
+"""Fused MEM search v2: strip-phased extension over a flat fragment layout.
+
+Single-call design for a high-latency link to the TPU (see fused_mem.py);
+v2 additionally exploits the reference's early-exit structure
+(bwt.c:261-296: scan end positions right-to-left, stop at the first
+backward extension reaching query position <= 1) to avoid evaluating the
+~90% of end positions that a matching fragment never needs:
+
+  phase 1 (strip): extend only the top W end positions of every fragment.
+    If any strip lane reaches i <= 1, that lane IS the fragment's jstop
+    (it is the largest such j), every position >= jstop lies inside the
+    strip, and the fragment is fully resolved.
+  phase 2 (remainder): for unresolved fragments only (junk frames and
+    mutated reads — exactly the set the reference scans fully), extend
+    the remaining positions; junk lanes die in the k-mer seed gather.
+
+Layout is flat: fragments are concatenated (frag_off offsets into a [P]
+code array), so upload bytes and lane counts scale with actual content,
+not padded [F, L] grids.  All statistics are segment reductions over the
+flat position space; the output per fragment is (maxl, jstop, tie list)
+— identical semantics to kaiju_tpu.engine.mem_fast's order-independent
+MEM statistics (reference: ConsumerThread.cpp:543-628).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device_index import rank_fused
+
+NLET = 20
+STRIP_W = 8
+
+
+def _step(rec, C, flat_codes, base, st):
+    i, a0, a1, act = st
+    cpos = jnp.where(act, base + i - 1, 0)
+    c = flat_codes[cpos].astype(jnp.int32)
+    n0 = rank_fused(rec, C, c, a0)
+    n1 = rank_fused(rec, C, c, a1)
+    ok = act & (n0 < n1)
+    a0 = jnp.where(ok, n0, a0)
+    a1 = jnp.where(ok, n1, a1)
+    i = jnp.where(ok, i - 1, i)
+    return i, a0, a1, ok & (i > 0)
+
+
+def _extend(rec, C, flat_codes, base, i, s0, s1, act):
+    """Backward-extend lanes to completion (masked while_loop)."""
+    i, s0, s1, _ = jax.lax.while_loop(
+        lambda st: jnp.any(st[3]),
+        lambda st: _step(rec, C, flat_codes, base, st),
+        (i, s0, s1, act),
+    )
+    return i, s0, s1
+
+
+def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms):
+    """Extend lanes: `pre` fixed steps on all lanes (kills the vast
+    majority — junk dies within a step or two of the seed), then compact
+    the survivors into an [Ms]-lane buffer on device and run the long
+    tail to completion there.  Returns final (i, s0, s1) per input lane
+    plus the survivor count (> Ms means the caller must retry bigger).
+
+    This keeps the completion while_loop — whose cost is lanes x deepest
+    extension — on a buffer sized for the survivors instead of the full
+    lane population (~40x less work on junk-heavy batches)."""
+    N = base.shape[0]
+    st = (i, s0, s1, act)
+    for _ in range(pre):
+        st = _step(rec, C, flat_codes, base, st)
+    i, s0, s1, act = st
+
+    n_surv = jnp.sum(act, dtype=jnp.int32)
+    slot = jnp.cumsum(act, dtype=jnp.int32) - 1
+    slot = jnp.where(act & (slot < Ms), slot, Ms)
+
+    def compact(vals, fill):
+        out = jnp.full((Ms + 1,), fill, dtype=vals.dtype)
+        return out.at[slot].set(vals, mode="drop")[:Ms]
+
+    ci = compact(i, jnp.int32(0))
+    c0 = compact(s0, jnp.int32(0))
+    c1 = compact(s1, jnp.int32(0))
+    cb = compact(base, jnp.int32(0))
+    ca = compact(act, False)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+    cl = compact(lane, jnp.int32(N))
+
+    ci, c0, c1 = _extend(rec, C, flat_codes, cb, ci, c0, c1, ca)
+
+    def scat(vals_full, cvals):
+        return vals_full.at[jnp.where(ca, cl, N)].set(cvals, mode="drop")
+
+    i = scat(jnp.concatenate([i, jnp.zeros(1, i.dtype)]), ci)[:N]
+    s0 = scat(jnp.concatenate([s0, jnp.zeros(1, s0.dtype)]), c0)[:N]
+    s1 = scat(jnp.concatenate([s1, jnp.zeros(1, s1.dtype)]), c1)[:N]
+    return i, s0, s1, n_surv
+
+
+PRE_STEPS = 6  # extension steps run on all lanes before compaction
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def fused_mem_search2(
+    rec, C, seed_rec, flat_codes, frag_off, kid_ok, K, j0, min_len, M2, T, Ms
+):
+    """flat_codes: uint8 [P] concatenated fragment letter codes;
+    frag_off: int32 [F+1] (monotone; last = true P; trailing pad fragment
+    rows must repeat the end offset); kid_ok: bool scalar array (unused
+    placeholder for future presence bitmaps).
+
+    Static: K seed depth (>= 1; requires j0 >= K-1), j0, min_len, M2
+    (phase-2 lane capacity), T (tie cap), Ms (survivor capacity of the
+    post-PRE_STEPS compacted completion loops).
+
+    Returns (maxl[F], tie_j[F,T], tie_s0[F,T], tie_s1[F,T], tie_cnt[F],
+    n2, n_surv) — n2 > M2 or n_surv > Ms means a capacity overflow:
+    retry with the reported capacities.
+    """
+    P = flat_codes.shape[0]
+    F = frag_off.shape[0] - 1
+    c32 = flat_codes.astype(jnp.int32)
+
+    # per-position fragment id and local coordinates
+    parange = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
+    fid = jnp.searchsorted(frag_off, parange, side="right").astype(jnp.int32) - 1
+    fid = jnp.clip(fid, 0, F - 1)
+    fstart = frag_off[fid]
+    flen_p = frag_off[fid + 1] - fstart
+    j_local = parange - fstart
+
+    # k-mer id ending at every flat position (windows never straddle a
+    # fragment boundary for usable lanes because j0 >= K-1)
+    kid = jnp.zeros((P,), dtype=jnp.int32)
+    for t in range(K):
+        sh = K - 1 - t
+        shifted = jnp.pad(c32, (sh, 0))[:P]
+        kid = kid + (shifted - 1) * (NLET ** (K - 1 - t))
+    usable = (j_local >= j0) & (j_local < flen_p)
+    kid = jnp.where(usable, kid, 0)
+
+    flen_f = frag_off[1:] - frag_off[:-1]
+
+    def seed(pos, lane_valid):
+        """pos: flat end positions.  Returns (i_local, s0, s1, alive,
+        resolved_now) — resolved_now = died inside the seed."""
+        srow = seed_rec[jnp.where(lane_valid, kid[pos], 0)]
+        d = jnp.where(lane_valid, srow[:, 2], 0)
+        jl = pos - frag_off[fid[pos]]
+        i = jnp.where(d > 0, jl - d + 1, jl)
+        s0 = srow[:, 0]
+        s1 = srow[:, 1]
+        alive = lane_valid & (d == K) & (i > 0)
+        return i, s0, s1, alive
+
+    # ---- phase 1: top-W strip -----------------------------------------
+    w = jax.lax.broadcasted_iota(jnp.int32, (F, STRIP_W), 1)
+    strip_j = flen_f[:, None] - 1 - w
+    strip_valid = strip_j >= j0
+    strip_pos = jnp.where(strip_valid, frag_off[:-1, None] + strip_j, 0)
+    sp = strip_pos.reshape(-1)
+    sv = strip_valid.reshape(-1)
+    i1, s01, s11, alive1 = seed(sp, sv)
+    base1 = frag_off[fid[sp]]
+    i1, s01, s11, nsurv1 = _extend_compacted(
+        rec, C, flat_codes, base1, i1, s01, s11, alive1, PRE_STEPS, Ms
+    )
+
+    # fragment resolved iff some strip lane reached i <= 1, or the strip
+    # already covered every usable position
+    found = jnp.any((i1.reshape(F, STRIP_W) <= 1) & strip_valid, axis=1)
+    exhausted = flen_f - 1 - STRIP_W < j0
+    resolved = found | exhausted
+
+    # ---- phase 2: remaining positions of unresolved fragments ---------
+    need2 = usable & ~resolved[fid] & (j_local < flen_p - STRIP_W)
+    n2 = jnp.sum(need2, dtype=jnp.int32)
+    slot = jnp.cumsum(need2, dtype=jnp.int32) - 1
+    slot = jnp.where(need2 & (slot < M2), slot, M2)
+
+    def compact(vals, fill):
+        out = jnp.full((M2 + 1,), fill, dtype=vals.dtype)
+        return out.at[slot].set(vals, mode="drop")[:M2]
+
+    pos2 = compact(parange, jnp.int32(0))
+    v2 = compact(need2, False)
+    i2, s02, s12, alive2 = seed(pos2, v2)
+    base2 = frag_off[fid[pos2]]
+    i2, s02, s12, nsurv2 = _extend_compacted(
+        rec, C, flat_codes, base2, i2, s02, s12, alive2, PRE_STEPS, Ms
+    )
+
+    # ---- merge into flat result grids ---------------------------------
+    # unevaluated positions get i = j_local + 1 => length 0, never eligible
+    i_g = j_local + 1
+    s0_g = jnp.zeros((P,), dtype=jnp.int32)
+    s1_g = jnp.zeros((P,), dtype=jnp.int32)
+
+    def scatter(grid, pos, vals, valid):
+        return grid.at[jnp.where(valid, pos, P)].set(vals, mode="drop")
+
+    i_g = scatter(i_g, sp, i1, sv)
+    s0_g = scatter(s0_g, sp, s01, sv)
+    s1_g = scatter(s1_g, sp, s11, sv)
+    i_g = scatter(i_g, pos2, i2, v2)
+    s0_g = scatter(s0_g, pos2, s02, v2)
+    s1_g = scatter(s1_g, pos2, s12, v2)
+
+    # ---- per-fragment statistics (segment reductions) -----------------
+    length = j_local - i_g + 1
+    jstop = jax.ops.segment_max(
+        jnp.where(usable & (i_g <= 1), j_local, -1), fid,
+        num_segments=F, indices_are_sorted=True,
+    )
+    eligible = usable & (j_local >= jstop[fid]) & (length >= min_len)
+    maxl = jax.ops.segment_max(
+        jnp.where(eligible, length, 0), fid,
+        num_segments=F, indices_are_sorted=True,
+    )
+    maxl = jnp.maximum(maxl, 0)
+
+    tie = eligible & (length == maxl[fid]) & (maxl[fid] > 0)
+    tie_cnt = jax.ops.segment_sum(
+        tie.astype(jnp.int32), fid, num_segments=F, indices_are_sorted=True
+    )
+    # rank of each tie within its fragment (ties are ascending j already
+    # because the flat space is ascending j within a fragment)
+    tie_rank = jnp.cumsum(tie.astype(jnp.int32)) - 1
+    seg_base = jax.ops.segment_max(
+        jnp.where(tie, tie_rank, -1).astype(jnp.int32) - 0, fid,
+        num_segments=F, indices_are_sorted=True,
+    )
+    first_rank = seg_base - jnp.maximum(tie_cnt, 1) + 1
+    local_rank = tie_rank - first_rank[fid]
+    dst = jnp.where(tie & (local_rank < T), fid * T + local_rank, F * T)
+    tie_j = jnp.full((F * T + 1,), -1, jnp.int32).at[dst].set(
+        j_local, mode="drop"
+    )[:-1].reshape(F, T)
+    tie_s0 = jnp.zeros((F * T + 1,), jnp.int32).at[dst].set(
+        s0_g, mode="drop"
+    )[:-1].reshape(F, T)
+    tie_s1 = jnp.zeros((F * T + 1,), jnp.int32).at[dst].set(
+        s1_g, mode="drop"
+    )[:-1].reshape(F, T)
+    return (
+        maxl, tie_j, tie_s0, tie_s1, tie_cnt, n2,
+        jnp.maximum(nsurv1, nsurv2),
+    )

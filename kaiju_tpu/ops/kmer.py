@@ -90,6 +90,58 @@ class KmerTables:
             tables.append((n0, n1))
         return cls(tables)
 
+    @classmethod
+    def build_device(cls, index: KaijuIndex, K: int, device_index) -> "KmerTables":
+        """Build the per-depth interval tables with batched device rank
+        probes (UpdateSI over every (letter, previous k-mer) pair) — the
+        host build is minutes of scalar numpy; this is ~a second of TPU
+        time for K=5."""
+        import jax.numpy as jnp
+
+        from . import device_index as dev
+
+        codes = np.arange(1, NLET + 1, dtype=np.int64)
+        si0 = index.C[codes]
+        si1 = index.C[codes + 1]
+        tables = [(si0, si1)]
+        CHUNK = 1 << 22
+        for _d in range(2, K + 1):
+            p0, p1 = tables[-1]
+            n = len(p0)
+            c = np.repeat(np.arange(1, NLET + 1, dtype=np.int32), n)
+            s0 = np.tile(p0, NLET).astype(np.int32)
+            s1 = np.tile(p1, NLET).astype(np.int32)
+            n0 = np.zeros(n * NLET, dtype=np.int64)
+            n1 = np.zeros(n * NLET, dtype=np.int64)
+            for lo in range(0, n * NLET, CHUNK):
+                hi = min(n * NLET, lo + CHUNK)
+                # pad to a power-of-two bucket: one compiled shape
+                m = 1024
+                while m < hi - lo:
+                    m *= 2
+                cc = np.zeros(m, np.int32)
+                cs0 = np.zeros(m, np.int32)
+                cs1 = np.zeros(m, np.int32)
+                cc[: hi - lo] = c[lo:hi]
+                cs0[: hi - lo] = s0[lo:hi]
+                cs1[: hi - lo] = s1[lo:hi]
+                r0, r1, ok = (
+                    np.asarray(a)[: hi - lo]
+                    for a in dev.probe_updates(
+                        device_index.blocks, device_index.occ,
+                        device_index.C,
+                        jnp.asarray(cc), jnp.asarray(cs0), jnp.asarray(cs1),
+                    )
+                )
+                n0[lo:hi] = np.where(ok, r0, 0)
+                n1[lo:hi] = np.where(ok, r1, 0)
+            # empty previous intervals must stay empty
+            alive = np.tile(p0 < p1, NLET)
+            n0[~alive] = 0
+            n1[~alive] = 0
+            tables.append((n0, n1))
+        return cls(tables)
+
     # ---- persistence --------------------------------------------------
 
     def save(self, dirpath: str) -> None:
@@ -99,7 +151,8 @@ class KmerTables:
             np.save(os.path.join(dirpath, f"si1_{d}.npy"), s1)
 
     @classmethod
-    def load_or_build(cls, index: KaijuIndex, cache_dir: str | None, K=None):
+    def load_or_build(cls, index: KaijuIndex, cache_dir: str | None, K=None,
+                      device_index=None):
         K = K or default_depth(index)
         path = os.path.join(cache_dir, f"kmer{K}") if cache_dir else None
         if path and os.path.exists(os.path.join(path, f"si0_{K}.npy")):
@@ -111,13 +164,43 @@ class KmerTables:
                 for d in range(1, K + 1)
             ]
             return cls(tables)
-        t = cls.build(index, K)
+        if device_index is not None:
+            t = cls.build_device(index, K, device_index)
+        else:
+            t = cls.build(index, K)
         if path:
             try:
                 t.save(path)
             except OSError:
                 pass
         return t
+
+    # ---- packed single-gather seed records ----------------------------
+
+    def packed_seed_rec(self, K: int | None = None) -> np.ndarray:
+        """[NLET^K, 4] int32 rows (si0, si1, d*, 0): for each K-mer id, the
+        DEEPEST d <= K whose d-suffix (= the first d backward-extension
+        steps) has a non-empty interval, with that interval.  d* == 0 means
+        even the last letter is absent from the DB.
+
+        One row gather replaces the whole per-depth descent — the seed step
+        of the fused device search (kaiju_tpu.ops.fused_mem).
+        """
+        K = K or self.K
+        K = min(K, self.K)
+        n = NLET**K
+        rec = np.zeros((n, 4), dtype=np.int32)
+        ids = np.arange(n, dtype=np.int64)
+        for d in range(1, K + 1):
+            sub = ids % (NLET**d) if d < K else ids
+            t0, t1 = self.tables[d - 1]
+            s0 = t0[sub]
+            s1 = t1[sub]
+            pres = s0 < s1
+            rec[pres, 0] = s0[pres].astype(np.int32)
+            rec[pres, 1] = s1[pres].astype(np.int32)
+            rec[pres, 2] = d
+        return rec
 
     # ---- seeding ------------------------------------------------------
 

@@ -31,6 +31,9 @@ def make_runner(index, taxonomy, cfg: KaijuConfig):
         from ..engine.mem_fast import MemFastPipeline
 
         kmer_dir = os.environ.get("KAIJU_TPU_CACHE")
+        if kmer_dir is None and getattr(index, "source_dir", None):
+            # cache the k-mer seed tables beside the index itself
+            kmer_dir = index.source_dir
         return MemFastPipeline(index, taxonomy, cfg, kmer_cache_dir=kmer_dir)
     from ..engine.batch import BatchRunner
 
