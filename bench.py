@@ -123,8 +123,9 @@ def run_mine(index, nodes, reads):
 
     t0 = time.time()
     out_lines = []
-    for i in range(0, len(items), BATCH):
-        for name, res in pipe.classify_batch(items[i : i + BATCH]):
+    batches = (items[i : i + BATCH] for i in range(0, len(items), BATCH))
+    for results in pipe.classify_stream(batches):
+        for name, res in results:
             out_lines.append(format_output_line(name, res, cfg.verbose))
     dt = time.time() - t0
     log(f"bench: mine classified {len(items)} reads in {dt:.2f}s")

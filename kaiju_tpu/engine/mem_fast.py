@@ -76,7 +76,7 @@ class MemFastPipeline:
         import jax
 
         self._seed_rec = jax.device_put(self.kmer.packed_seed_rec(self.seed_K))
-        self._rem_frac = 0.5  # running estimate of the phase-2 lane fraction
+        self._m2: dict[int, int] = {}  # phase-2 lane capacity per P bucket
         self._ms = 32768  # survivor-lane capacity of the completion loops
         self._trans = trans_table(index.alphabet)
         if config.seg:
@@ -86,6 +86,12 @@ class MemFastPipeline:
             self._seg_cache: dict[str, list] = {}
         else:
             self._seg = None
+        from .fragments_native import NativeFragmenter
+
+        self._fragmenter = NativeFragmenter(
+            config.mode, config.min_fragment_length, config.min_score,
+            config.seg, config.input_is_protein,
+        )
         self._frag_ids: dict[str, int] = {}
         self._frags: list[str] = []
         # uid -> (maxl, [(tie j, si0, si1) ascending j])
@@ -179,16 +185,15 @@ class MemFastPipeline:
             b *= 2
         return b
 
-    def _compute_maps(self, uids: list[int]) -> None:
-        """One fused device call computes every new fragment's MEM
-        statistics: maxl and the ascending-j tie list (j, si0, si1).
-        Stored per uid as (maxl, ties)."""
+    def _dispatch_maps(self, uids: list[int]):
+        """Dispatch the fused search for every not-yet-known fragment.
+        Returns an opaque pending handle (or None); JAX dispatch is async,
+        so this does not block on the device."""
         cfg = self.cfg
         todo = [u for u in dict.fromkeys(uids) if self._stats[u] is None]
         if not todo:
-            return
+            return None
         j0 = cfg.min_fragment_length - 1
-        K = self.seed_K
         F = self._bucket(len(todo), 256)
 
         encoded = []
@@ -206,24 +211,44 @@ class MemFastPipeline:
             pos += len(e)
         frag_off[len(encoded):] = pos
 
-        M2 = self._bucket(int(P * min(1.0, self._rem_frac * 1.4)), 4096)
-        M2 = min(M2, self._bucket(P, 4096))
+        # sticky per-P capacity: shape changes force executable reloads
+        # over the tunnel, so only grow on overflow, never shrink
+        M2 = self._m2.setdefault(P, min(P // 4, 262144))
         Ms = self._ms
+        out = fused_mem_search2(
+            self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
+            False, self.seed_K, j0, cfg.min_fragment_length, M2, TIE_CAP, Ms,
+        )
+        return (todo, encoded, flat, frag_off, F, P, M2, Ms, out)
+
+    def _finish_maps(self, pending) -> None:
+        """Fetch a dispatched search, retrying on capacity overflow, and
+        store per-uid (maxl, ties)."""
+        if pending is None:
+            return
+        cfg = self.cfg
+        j0 = cfg.min_fragment_length - 1
+        todo, encoded, flat, frag_off, F, P, M2, Ms, out = pending
+        T = TIE_CAP
         while True:
-            maxl, tie_j, tie_s0, tie_s1, tie_cnt, n2, n_surv = (
-                np.asarray(a)
-                for a in fused_mem_search2(
-                    self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-                    False, K, j0, cfg.min_fragment_length, M2, TIE_CAP, Ms,
-                )
-            )
-            n2, n_surv = int(n2), int(n_surv)
-            self._rem_frac = 0.7 * self._rem_frac + 0.3 * (n2 / max(1, P))
+            packed = np.asarray(out)
+            maxl = packed[:F, 0]
+            tie_cnt = packed[:F, 1]
+            tie_j = packed[:F, 2 : 2 + T]
+            tie_s0 = packed[:F, 2 + T : 2 + 2 * T]
+            tie_s1 = packed[:F, 2 + 2 * T : 2 + 3 * T]
+            n2, n_surv = int(packed[F, 0]), int(packed[F, 1])
             if n2 <= M2 and n_surv <= Ms:
                 break
             M2 = min(self._bucket(max(M2, n2), 4096), self._bucket(P, 4096))
             Ms = self._bucket(max(Ms, n_surv), 4096)
+            self._m2[P] = M2
             self._ms = Ms
+            out = fused_mem_search2(
+                self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
+                False, self.seed_K, j0, cfg.min_fragment_length, M2,
+                TIE_CAP, Ms,
+            )
 
         overflow = [fi for fi in range(len(todo)) if tie_cnt[fi] > TIE_CAP]
         full: dict[int, tuple] = {}
@@ -239,6 +264,9 @@ class MemFastPipeline:
                 for t in range(min(int(tie_cnt[fi]), TIE_CAP))
             ]
             self._stats[u] = (int(maxl[fi]), ties)
+
+    def _compute_maps(self, uids: list[int]) -> None:
+        self._finish_maps(self._dispatch_maps(uids))
 
     def _full_maps(self, us, encoded_all, rows, j0):
         """Fallback for tie-cap overflow: full extension map for the given
@@ -276,13 +304,13 @@ class MemFastPipeline:
 
     # ---- per-read assembly -------------------------------------------
 
-    def _assemble(self, order: list[str], longest: int):
+    def _assemble(self, order: list[int], longest: int):
         """([SI ranges in enumeration order], verbose strings)."""
         cfg = self.cfg
         ranges = []
         verbose_frags = []
-        for frag in order:
-            maxl, ties = self._stats[self._frag_ids[frag]]
+        for u in order:
+            maxl, ties = self._stats[u]
             if maxl != longest:
                 continue
             # greedyExact chains ties newest-first => ascending j already
@@ -290,6 +318,7 @@ class MemFastPipeline:
                 ranges.append((s0, s1))
             if cfg.verbose and ties:
                 qi = ties[0][0] - longest + 1
+                frag = self._frags[u]
                 verbose_frags.append(frag[qi : qi + longest])
         return ranges, verbose_frags
 
@@ -383,10 +412,36 @@ class MemFastPipeline:
 
     # ---- entry --------------------------------------------------------
 
+    def submit_batch(self, reads):
+        """Host fragmenting + async device dispatch for one batch.  The
+        returned state is consumed by collect_batch; submitting the next
+        batch before collecting the previous overlaps host work with
+        device compute (the device queue stays busy)."""
+        frags, orders_local = self._fragmenter.run(reads)
+        guid = [self._uid(f) for f in frags]
+        orders = [[guid[u] for u in o] for o in orders_local]
+        pending = self._dispatch_maps([u for o in orders for u in o])
+        return (reads, orders, pending)
+
     def classify_batch(self, reads) -> list[tuple[str, ClassifyResult]]:
+        return self.collect_batch(self.submit_batch(reads))
+
+    def classify_stream(self, batches):
+        """Pipelined driver: yields per-read results batch by batch with
+        one batch of device lookahead."""
+        state = None
+        for batch in batches:
+            nxt = self.submit_batch(batch)
+            if state is not None:
+                yield self.collect_batch(state)
+            state = nxt
+        if state is not None:
+            yield self.collect_batch(state)
+
+    def collect_batch(self, state) -> list[tuple[str, ClassifyResult]]:
         cfg = self.cfg
-        orders = [self._searched_fragments(*r) for r in reads]
-        self._compute_maps([self._uid(f) for o in orders if o for f in o])
+        reads, orders, pending = state
+        self._finish_maps(pending)
 
         assembled = []
         read_longest = []
@@ -395,7 +450,7 @@ class MemFastPipeline:
                 read_longest.append(0)
                 assembled.append(([], []))
                 continue
-            longest = max(self._stats[self._frag_ids[f]][0] for f in order)
+            longest = max(self._stats[u][0] for u in order)
             read_longest.append(longest)
             if longest == 0:
                 assembled.append(([], []))

@@ -24,7 +24,11 @@ def build_library(force: bool = False) -> str:
     """Compile the native library if needed; returns the .so path."""
     d = _src_dir()
     so = os.path.join(d, _LIB_NAME)
-    srcs = [os.path.join(d, "sais.cpp"), os.path.join(d, "seg.cpp")]
+    srcs = [
+        os.path.join(d, "sais.cpp"),
+        os.path.join(d, "seg.cpp"),
+        os.path.join(d, "fragments.cpp"),
+    ]
     if not force and os.path.exists(so):
         newest_src = max(os.path.getmtime(s) for s in srcs)
         if os.path.getmtime(so) >= newest_src:
@@ -47,6 +51,18 @@ def get_lib():
             lib.kt_seg_intervals.restype = ctypes.c_int
             lib.kt_seg_intervals.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.kt_fragment_batch.restype = ctypes.c_int
+            lib.kt_fragment_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # seqs
+                ctypes.c_void_p, ctypes.c_void_p,                  # seqs2
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # flags
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int64,                   # frag buf
+                ctypes.c_void_p, ctypes.c_int64,                   # frag off
+                ctypes.c_void_p, ctypes.c_int64,                   # uids
+                ctypes.c_void_p,                                   # read off
+                ctypes.c_void_p,                                   # counts
             ]
             lib.kt_build_bwt.argtypes = [
                 ctypes.c_void_p,  # codes

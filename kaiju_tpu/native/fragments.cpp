@@ -1,0 +1,338 @@
+// Batched read -> fragment pipeline: six-frame translation, stop-codon
+// splitting, queue-key computation, lazy SEG splitting with the exact
+// pop-order simulation, and cross-read fragment deduplication.
+//
+// Semantics mirror the reference classifier's fragment handling
+// (reference: src/ConsumerThread.cpp:190-270 getAllFragmentsBits,
+// 272-342 getNextFragment + SEG requeueing, 659-695 protein splitting)
+// and are parity-tested against the Python implementations in
+// kaiju_tpu/engine/fragments*.py (tests/test_native_fragments.py).
+//
+// One call processes a whole batch: the host Python loop this replaces
+// was ~1 s per 4096 reads; this runs in ~30 ms.
+
+#include <cctype>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+extern "C" int kt_seg_intervals(const int8_t* seq, int len, int32_t* out,
+                                int cap);
+
+namespace {
+
+// aa2int scoring order "ARNDCQEGHILKMFPSTWYV" diagonal scores
+// (reference: ConsumerThread.cpp:45-85)
+const char* AA_ORDER = "ARNDCQEGHILKMFPSTWYV";
+const int DIAG[20] = {4, 5, 6, 6, 9, 5, 5, 6, 8, 4,
+                      4, 5, 5, 6, 7, 4, 5, 11, 7, 4};
+
+// SEG alphabet order "ACDEFGHIKLMNPQRSTVWY" (kt_seg_intervals contract)
+const char* SEG_ORDER = "ACDEFGHIKLMNPQRSTVWY";
+
+struct Tables {
+    int diag_by_char[256];
+    int8_t seg_code[256];
+    uint8_t nuc2int[256];
+    uint8_t compnuc2int[256];
+    char codon2aa[64];
+    bool is_aa20[256];
+    Tables() {
+        for (int i = 0; i < 256; ++i) {
+            diag_by_char[i] = DIAG[0];  // aa2int zero default = 'A'
+            seg_code[i] = -1;
+            nuc2int[i] = 255;
+            compnuc2int[i] = 255;
+            is_aa20[i] = false;
+        }
+        for (int i = 0; i < 20; ++i) diag_by_char[(int)AA_ORDER[i]] = DIAG[i];
+        for (int i = 0; i < 20; ++i) {
+            seg_code[(int)SEG_ORDER[i]] = (int8_t)i;
+            is_aa20[(int)SEG_ORDER[i]] = true;
+        }
+        const char* nucs = "ACGTU";
+        const int vals[5] = {0, 1, 2, 3, 3};
+        for (int i = 0; i < 5; ++i) {
+            nuc2int[(int)nucs[i]] = (uint8_t)vals[i];
+            nuc2int[(int)std::tolower(nucs[i])] = (uint8_t)vals[i];
+            compnuc2int[(int)nucs[i]] = (uint8_t)(3 - vals[i]);
+            compnuc2int[(int)std::tolower(nucs[i])] = (uint8_t)(3 - vals[i]);
+        }
+        // genetic code, codon packed (n0<<4)|(n1<<2)|n2
+        const char* codons =
+            "FFLLLLLLIIIMVVVVSSSSPPPPTTTTAAAAYY**HHQQNNKKDDEE"
+            "CC*WRRRRSSRRGGGG";
+        // order: enumerate TTT..: build explicitly instead
+        (void)codons;
+        struct CA { const char* c; char a; };
+        static const CA TAB[] = {
+            {"TTT",'F'},{"TTC",'F'},{"TTA",'L'},{"TTG",'L'},
+            {"CTT",'L'},{"CTC",'L'},{"CTA",'L'},{"CTG",'L'},
+            {"ATT",'I'},{"ATC",'I'},{"ATA",'I'},{"ATG",'M'},
+            {"GTT",'V'},{"GTC",'V'},{"GTA",'V'},{"GTG",'V'},
+            {"TCT",'S'},{"TCC",'S'},{"TCA",'S'},{"TCG",'S'},
+            {"CCT",'P'},{"CCC",'P'},{"CCA",'P'},{"CCG",'P'},
+            {"ACT",'T'},{"ACC",'T'},{"ACA",'T'},{"ACG",'T'},
+            {"GCT",'A'},{"GCC",'A'},{"GCA",'A'},{"GCG",'A'},
+            {"TAT",'Y'},{"TAC",'Y'},{"TAA",'*'},{"TAG",'*'},
+            {"CAT",'H'},{"CAC",'H'},{"CAA",'Q'},{"CAG",'Q'},
+            {"AAT",'N'},{"AAC",'N'},{"AAA",'K'},{"AAG",'K'},
+            {"GAT",'D'},{"GAC",'D'},{"GAA",'E'},{"GAG",'E'},
+            {"TGT",'C'},{"TGC",'C'},{"TGA",'*'},{"TGG",'W'},
+            {"CGT",'R'},{"CGC",'R'},{"CGA",'R'},{"CGG",'R'},
+            {"AGT",'S'},{"AGC",'S'},{"AGA",'R'},{"AGG",'R'},
+            {"GGT",'G'},{"GGC",'G'},{"GGA",'G'},{"GGG",'G'},
+        };
+        for (int i = 0; i < 64; ++i) codon2aa[i] = '*';
+        auto n2i = [](char c) {
+            switch (c) { case 'A': return 0; case 'C': return 1;
+                         case 'G': return 2; default: return 3; }
+        };
+        for (const CA& e : TAB) {
+            int idx = (n2i(e.c[0]) << 4) | (n2i(e.c[1]) << 2) | n2i(e.c[2]);
+            codon2aa[idx] = e.a;
+        }
+    }
+};
+const Tables T;
+
+struct Emitter {
+    bool greedy;
+    int min_len;
+    int min_score;
+    std::vector<std::pair<int64_t, std::string>>* items;  // (key, frag)
+
+    int score(const std::string& f) const {
+        int s = 0;
+        for (char c : f) s += T.diag_by_char[(uint8_t)c];
+        return s;
+    }
+    void emit(std::string&& frag) {
+        if ((int)frag.size() >= min_len) {
+            if (greedy) {
+                int s = score(frag);
+                if (s >= min_score) items->emplace_back(s, std::move(frag));
+            } else {
+                items->emplace_back((int64_t)frag.size(), std::move(frag));
+            }
+        }
+    }
+};
+
+// six-frame scan (reference: ConsumerThread.cpp:190-270): forward counts
+// 0..n-3 then frame flush 0,1,2; backward counts n-2..0 then flush.
+void add_dna(Emitter& em, const char* s, int64_t n) {
+    if (n < 3) {
+        // reference still runs the backward scan's count = n-2 '*' and
+        // flushes empty accumulators: nothing emitted
+        return;
+    }
+    std::string acc[3];
+    for (int64_t count = 0; count + 2 < n; ++count) {
+        uint8_t a = T.nuc2int[(uint8_t)s[count]];
+        uint8_t b = T.nuc2int[(uint8_t)s[count + 1]];
+        uint8_t c = T.nuc2int[(uint8_t)s[count + 2]];
+        char aa = (a < 4 && b < 4 && c < 4)
+                      ? T.codon2aa[(a << 4) | (b << 2) | c]
+                      : '*';
+        int f = count % 3;
+        if (aa == '*') {
+            em.emit(std::move(acc[f]));
+            acc[f].clear();
+        } else {
+            acc[f] += aa;
+        }
+    }
+    for (int f = 0; f < 3; ++f) {
+        em.emit(std::move(acc[f]));
+        acc[f].clear();
+    }
+    // backward: count = n-2 (always '*'), then n-3..0 with complement
+    // codon of s[count+2], s[count+1], s[count]
+    for (int64_t count = n - 2; count >= 0; --count) {
+        char aa;
+        if (count == n - 2) {
+            aa = '*';
+        } else {
+            uint8_t a = T.compnuc2int[(uint8_t)s[count + 2]];
+            uint8_t b = T.compnuc2int[(uint8_t)s[count + 1]];
+            uint8_t c = T.compnuc2int[(uint8_t)s[count]];
+            aa = (a < 4 && b < 4 && c < 4)
+                     ? T.codon2aa[(a << 4) | (b << 2) | c]
+                     : '*';
+        }
+        int f = count % 3;
+        if (aa == '*') {
+            em.emit(std::move(acc[f]));
+            acc[f].clear();
+        } else {
+            acc[f] += aa;
+        }
+    }
+    for (int f = 0; f < 3; ++f) {
+        em.emit(std::move(acc[f]));
+        acc[f].clear();
+    }
+}
+
+// protein splitting (reference: ConsumerThread.cpp:659-695): uppercase,
+// split at any non-AA20 char; pieces must reach min_len BEFORE emit
+// (emit re-checks length, which is then redundant but harmless)
+void add_protein(Emitter& em, const char* s, int64_t n) {
+    std::string up(s, (size_t)n);
+    for (char& c : up) c = (char)std::toupper((unsigned char)c);
+    int64_t start = 0;
+    for (int64_t pos = 0; pos < (int64_t)up.size(); ++pos) {
+        if (!T.is_aa20[(uint8_t)up[pos]]) {
+            if (pos - start >= em.min_len)
+                em.emit(up.substr(start, pos - start));
+            start = pos + 1;
+        }
+    }
+    if ((int64_t)up.size() - start >= em.min_len)
+        em.emit(up.substr(start));
+}
+
+struct QEntry {
+    int64_t key;
+    int64_t seq;
+    int32_t frag_idx;  // index into a per-read fragment string pool
+    bool checked;
+};
+struct QCmp {
+    bool operator()(const QEntry& a, const QEntry& b) const {
+        if (a.key != b.key) return a.key < b.key;  // max-heap on key
+        return a.seq > b.seq;                      // FIFO on ties
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, -1 on output-capacity overflow.
+// counts_out[0] = number of unique fragments, [1] = total fragment chars,
+// [2] = total uid-stream length.
+int kt_fragment_batch(
+    const char* seqs, const int64_t* seq_off, int64_t n_reads,
+    const char* seqs2, const int64_t* seq2_off,
+    int32_t is_protein, int32_t greedy, int32_t min_frag_len,
+    int32_t min_score, int32_t use_seg,
+    char* frag_buf, int64_t frag_buf_cap,
+    int64_t* frag_off_out, int64_t frag_cap,
+    int32_t* uid_out, int64_t uid_cap,
+    int64_t* read_uid_off,
+    int64_t* counts_out) {
+    std::unordered_map<std::string, int32_t> uid_of;
+    int64_t chars = 0;
+    int64_t n_frags = 0;
+    int64_t n_uids = 0;
+    std::vector<std::pair<int64_t, std::string>> items;
+    std::vector<std::string> pool;
+    std::vector<int32_t> seg_buf(8192);
+
+    auto intern = [&](const std::string& f) -> int32_t {
+        auto it = uid_of.find(f);
+        if (it != uid_of.end()) return it->second;
+        int32_t uid = (int32_t)n_frags;
+        if (n_frags >= frag_cap || chars + (int64_t)f.size() > frag_buf_cap)
+            return -1;
+        frag_off_out[n_frags] = chars;
+        std::memcpy(frag_buf + chars, f.data(), f.size());
+        chars += (int64_t)f.size();
+        ++n_frags;
+        uid_of.emplace(f, uid);
+        return uid;
+    };
+
+    int64_t mfl3 = (int64_t)min_frag_len * 3;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        read_uid_off[r] = n_uids;
+        const char* s1 = seqs + seq_off[r];
+        int64_t n1 = seq_off[r + 1] - seq_off[r];
+        const char* s2 = nullptr;
+        int64_t n2 = 0;
+        if (seqs2 != nullptr) {
+            s2 = seqs2 + seq2_off[r];
+            n2 = seq2_off[r + 1] - seq2_off[r];
+        }
+        // short-read fast path (reference: ConsumerThread.cpp:640-654):
+        // the caller detects it from an empty uid list plus read lengths
+        items.clear();
+        Emitter em{greedy != 0, min_frag_len, min_score, &items};
+        if (is_protein) {
+            if (n1 >= min_frag_len) add_protein(em, s1, n1);
+        } else {
+            if (n1 >= mfl3) add_dna(em, s1, n1);
+            if (s2 != nullptr && n2 >= mfl3) add_dna(em, s2, n2);
+        }
+
+        // queue simulation: pop everything best-first; SEG splits requeue
+        std::priority_queue<QEntry, std::vector<QEntry>, QCmp> q;
+        pool.clear();
+        int64_t seq_no = 0;
+        for (auto& kv : items) {
+            pool.push_back(std::move(kv.second));
+            q.push(QEntry{kv.first, seq_no++, (int32_t)(pool.size() - 1),
+                          use_seg == 0});
+        }
+        while (!q.empty()) {
+            QEntry e = q.top();
+            q.pop();
+            const std::string frag = pool[e.frag_idx];
+            if (!e.checked) {
+                std::vector<int8_t> codes(frag.size());
+                for (size_t t = 0; t < frag.size(); ++t)
+                    codes[t] = T.seg_code[(uint8_t)frag[t]];
+                int nseg = kt_seg_intervals(codes.data(), (int)frag.size(),
+                                            seg_buf.data(),
+                                            (int)seg_buf.size() / 2);
+                if (nseg != 0) {
+                    // split at masked intervals; pieces must be STRICTLY
+                    // longer than min_frag_len (reference:
+                    // ConsumerThread.cpp:298-322)
+                    int64_t start = 0;
+                    auto requeue = [&](int64_t st, int64_t len) {
+                        if (len > min_frag_len) {
+                            std::string piece = frag.substr(st, len);
+                            int64_t key;
+                            if (greedy) {
+                                int sc = em.score(piece);
+                                if (sc < min_score) return;
+                                key = sc;
+                            } else {
+                                key = (int64_t)piece.size();
+                            }
+                            pool.push_back(std::move(piece));
+                            q.push(QEntry{key, seq_no++,
+                                          (int32_t)(pool.size() - 1), true});
+                        }
+                    };
+                    for (int t = 0; t < nseg; ++t) {
+                        int64_t left = seg_buf[2 * t];
+                        int64_t right = seg_buf[2 * t + 1];
+                        requeue(start, left - start);
+                        start = right + 1;
+                    }
+                    requeue(start, (int64_t)frag.size() - start);
+                    continue;
+                }
+            }
+            int32_t uid = intern(frag);
+            if (uid < 0) return -1;
+            if (n_uids >= uid_cap) return -1;
+            uid_out[n_uids++] = uid;
+        }
+    }
+    read_uid_off[n_reads] = n_uids;
+    frag_off_out[n_frags] = chars;
+    counts_out[0] = n_frags;
+    counts_out[1] = chars;
+    counts_out[2] = n_uids;
+    return 0;
+}
+
+}  // extern "C"

@@ -118,17 +118,21 @@ def fused_mem_search2(
     (phase-2 lane capacity), T (tie cap), Ms (survivor capacity of the
     post-PRE_STEPS compacted completion loops).
 
-    Returns (maxl[F], tie_j[F,T], tie_s0[F,T], tie_s1[F,T], tie_cnt[F],
-    n2, n_surv) — n2 > M2 or n_surv > Ms means a capacity overflow:
-    retry with the reported capacities.
+    Returns one packed int32 array [F+1, 2+3T]: rows 0..F-1 are
+    (maxl, tie_cnt, tie_j[T], tie_s0[T], tie_s1[T]) per fragment; row F
+    carries (n2, n_surv) in its first two columns.  n2 > M2 or
+    n_surv > Ms means a capacity overflow: retry with the reported
+    capacities.
     """
     P = flat_codes.shape[0]
     F = frag_off.shape[0] - 1
     c32 = flat_codes.astype(jnp.int32)
 
-    # per-position fragment id and local coordinates
+    # per-position fragment id via boundary scatter + cumsum (a
+    # searchsorted here costs ~15 gathers per position)
     parange = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
-    fid = jnp.searchsorted(frag_off, parange, side="right").astype(jnp.int32) - 1
+    bumps = jnp.zeros((P + 1,), jnp.int32).at[frag_off[1:F]].add(1)[:P]
+    fid = jnp.cumsum(bumps)
     fid = jnp.clip(fid, 0, F - 1)
     fstart = frag_off[fid]
     flen_p = frag_off[fid + 1] - fstart
@@ -195,59 +199,71 @@ def fused_mem_search2(
         rec, C, flat_codes, base2, i2, s02, s12, alive2, PRE_STEPS, Ms
     )
 
-    # ---- merge into flat result grids ---------------------------------
-    # unevaluated positions get i = j_local + 1 => length 0, never eligible
-    i_g = j_local + 1
-    s0_g = jnp.zeros((P,), dtype=jnp.int32)
-    s1_g = jnp.zeros((P,), dtype=jnp.int32)
+    # ---- per-fragment statistics from the two evaluated lane sets -----
+    # strip lanes form a regular [F, W] grid (j descending in w); phase-2
+    # lanes are a compacted [M2] set.  The two are disjoint, and every
+    # phase-2 j is strictly below every strip j of the same fragment.
+    i1g = i1.reshape(F, STRIP_W)
+    s01g = s01.reshape(F, STRIP_W)
+    s11g = s11.reshape(F, STRIP_W)
+    len1 = strip_j - i1g + 1
 
-    def scatter(grid, pos, vals, valid):
-        return grid.at[jnp.where(valid, pos, P)].set(vals, mode="drop")
+    fid2 = fid[pos2]
+    j2 = j_local[pos2]
+    len2 = j2 - i2 + 1
 
-    i_g = scatter(i_g, sp, i1, sv)
-    s0_g = scatter(s0_g, sp, s01, sv)
-    s1_g = scatter(s1_g, sp, s11, sv)
-    i_g = scatter(i_g, pos2, i2, v2)
-    s0_g = scatter(s0_g, pos2, s02, v2)
-    s1_g = scatter(s1_g, pos2, s12, v2)
+    def seg_max(vals, seg):
+        return jax.ops.segment_max(vals, seg, num_segments=F)
 
-    # ---- per-fragment statistics (segment reductions) -----------------
-    length = j_local - i_g + 1
-    jstop = jax.ops.segment_max(
-        jnp.where(usable & (i_g <= 1), j_local, -1), fid,
-        num_segments=F, indices_are_sorted=True,
+    jstop = jnp.maximum(
+        jnp.max(jnp.where(strip_valid & (i1g <= 1), strip_j, -1), axis=1),
+        seg_max(jnp.where(v2 & (i2 <= 1), j2, -1), fid2),
     )
-    eligible = usable & (j_local >= jstop[fid]) & (length >= min_len)
-    maxl = jax.ops.segment_max(
-        jnp.where(eligible, length, 0), fid,
-        num_segments=F, indices_are_sorted=True,
+    elig1 = strip_valid & (strip_j >= jstop[:, None]) & (len1 >= min_len)
+    elig2 = v2 & (j2 >= jstop[fid2]) & (len2 >= min_len)
+    maxl = jnp.maximum(
+        jnp.max(jnp.where(elig1, len1, 0), axis=1),
+        seg_max(jnp.where(elig2, len2, 0), fid2),
     )
     maxl = jnp.maximum(maxl, 0)
 
-    tie = eligible & (length == maxl[fid]) & (maxl[fid] > 0)
-    tie_cnt = jax.ops.segment_sum(
-        tie.astype(jnp.int32), fid, num_segments=F, indices_are_sorted=True
+    tie1 = elig1 & (len1 == maxl[:, None]) & (maxl[:, None] > 0)
+    tie2 = elig2 & (len2 == maxl[fid2]) & (maxl[fid2] > 0)
+    cnt1 = jnp.sum(tie1, axis=1, dtype=jnp.int32)
+    cnt2 = jax.ops.segment_sum(tie2.astype(jnp.int32), fid2, num_segments=F)
+    tie_cnt = cnt1 + cnt2
+
+    # phase-2 ties first (ascending j within the compacted order because
+    # compaction preserves flat-position order)
+    rank2g = jnp.cumsum(tie2.astype(jnp.int32)) - 1
+    last2 = seg_max(jnp.where(tie2, rank2g, -1), fid2)
+    first2 = last2 - jnp.maximum(cnt2, 1) + 1
+    lr2 = rank2g - first2[fid2]
+    dst2 = jnp.where(tie2 & (lr2 < T), fid2 * T + lr2, F * T)
+    # strip ties after them, ascending j == descending w
+    lr1 = (
+        jnp.cumsum(tie1[:, ::-1].astype(jnp.int32), axis=1)[:, ::-1]
+        - tie1.astype(jnp.int32)
     )
-    # rank of each tie within its fragment (ties are ascending j already
-    # because the flat space is ascending j within a fragment)
-    tie_rank = jnp.cumsum(tie.astype(jnp.int32)) - 1
-    seg_base = jax.ops.segment_max(
-        jnp.where(tie, tie_rank, -1).astype(jnp.int32) - 0, fid,
-        num_segments=F, indices_are_sorted=True,
+    lr1 = cnt2[:, None] + lr1
+    fgrid = jax.lax.broadcasted_iota(jnp.int32, (F, STRIP_W), 0)
+    dst1 = jnp.where(tie1 & (lr1 < T), fgrid * T + lr1, F * T).reshape(-1)
+
+    def put(vals2, vals1, fill):
+        out = jnp.full((F * T + 1,), fill, jnp.int32)
+        out = out.at[dst2].set(vals2, mode="drop")
+        out = out.at[dst1].set(vals1.reshape(-1), mode="drop")
+        return out[:-1].reshape(F, T)
+
+    tie_j = put(j2, strip_j, -1)
+    tie_s0 = put(s02, s01g, 0)
+    tie_s1 = put(s12, s11g, 0)
+
+    # single packed output => ONE device->host fetch on a high-latency
+    # link: [F+1, 2+3T] int32; last row carries (n2, n_surv) in cols 0:2
+    out = jnp.concatenate(
+        [maxl[:, None], tie_cnt[:, None], tie_j, tie_s0, tie_s1], axis=1
     )
-    first_rank = seg_base - jnp.maximum(tie_cnt, 1) + 1
-    local_rank = tie_rank - first_rank[fid]
-    dst = jnp.where(tie & (local_rank < T), fid * T + local_rank, F * T)
-    tie_j = jnp.full((F * T + 1,), -1, jnp.int32).at[dst].set(
-        j_local, mode="drop"
-    )[:-1].reshape(F, T)
-    tie_s0 = jnp.zeros((F * T + 1,), jnp.int32).at[dst].set(
-        s0_g, mode="drop"
-    )[:-1].reshape(F, T)
-    tie_s1 = jnp.zeros((F * T + 1,), jnp.int32).at[dst].set(
-        s1_g, mode="drop"
-    )[:-1].reshape(F, T)
-    return (
-        maxl, tie_j, tie_s0, tie_s1, tie_cnt, n2,
-        jnp.maximum(nsurv1, nsurv2),
-    )
+    scal = jnp.zeros((1, 2 + 3 * T), jnp.int32)
+    scal = scal.at[0, 0].set(n2).at[0, 1].set(jnp.maximum(nsurv1, nsurv2))
+    return jnp.concatenate([out, scal], axis=0)

@@ -45,13 +45,22 @@ def classify_stream(runner, reads_iter, out, cfg: KaijuConfig, batch_size=4096):
     from ..engine.core import format_output_line, format_output_line_x
     from ..io.fastx import batched
 
-    for batch in batched(reads_iter, batch_size):
-        for name, res in runner.classify_batch(batch):
+    def emit(results):
+        for name, res in results:
             if cfg.taxonomy_free:
                 out.write(format_output_line_x(name, res))
             else:
                 out.write(format_output_line(name, res, cfg.verbose))
         out.flush()
+
+    batches = batched(reads_iter, batch_size)
+    if hasattr(runner, "classify_stream"):
+        # pipelined: one batch of device lookahead
+        for results in runner.classify_stream(batches):
+            emit(results)
+    else:
+        for batch in batches:
+            emit(runner.classify_batch(batch))
 
 
 def add_engine_args(ap, protein_tool=False):
