@@ -26,11 +26,13 @@ class NativeFragmenter:
         self.seg = 1 if seg else 0
         self.protein = 1 if input_is_protein else 0
 
-    def run(self, reads):
+    def run(self, reads, with_keys: bool = False):
         """reads: [(name, seq1, seq2-or-None)].
 
         Returns (frags: list[str] unique fragments, orders: per read the
-        list of indices into frags in exact pop order)."""
+        list of indices into frags in exact pop order); with_keys adds a
+        third element: the queue key per unique fragment (length in MEM,
+        BLOSUM diagonal score in Greedy)."""
         n = len(reads)
         seq1 = b"".join(r[1].encode("ascii") for r in reads)
         off1 = np.zeros(n + 1, dtype=np.int64)
@@ -54,6 +56,7 @@ class NativeFragmenter:
             frag_off = np.zeros(frag_cap + 1, dtype=np.int64)
             uids = np.zeros(uid_cap, dtype=np.int32)
             read_off = np.zeros(n + 1, dtype=np.int64)
+            keys = np.zeros(frag_cap, dtype=np.int64)
             counts = np.zeros(3, dtype=np.int64)
             rc = self._lib.kt_fragment_batch(
                 seq1, off1.ctypes.data_as(ctypes.c_void_p), n,
@@ -64,6 +67,7 @@ class NativeFragmenter:
                 frag_off.ctypes.data_as(ctypes.c_void_p), frag_cap,
                 uids.ctypes.data_as(ctypes.c_void_p), uid_cap,
                 read_off.ctypes.data_as(ctypes.c_void_p),
+                keys.ctypes.data_as(ctypes.c_void_p),
                 counts.ctypes.data_as(ctypes.c_void_p),
             )
             if rc == 0:
@@ -81,4 +85,6 @@ class NativeFragmenter:
         orders = [
             uids[read_off[r] : read_off[r + 1]].tolist() for r in range(n)
         ]
+        if with_keys:
+            return frags, orders, keys[:n_frags].tolist()
         return frags, orders

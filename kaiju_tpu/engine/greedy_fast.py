@@ -1,0 +1,682 @@
+"""Vectorized Greedy-mode batch pipeline.
+
+The reference Greedy classifier is a per-read best-first branch-and-bound
+search (reference: ConsumerThread.cpp:424-541): fragments are popped from
+a score-ordered queue, exact-matched (maxMatches, bwt.c:261-296), their
+matches spawn bounded substitution variants (addAllMismatchVariantsAtPosSI,
+ConsumerThread.cpp:346-395) that resume extension (maxMatches_withStart,
+bwt.c:298-336), and the running best score prunes both the queue and the
+variant enumeration.
+
+Batch strategy (exact by construction):
+
+1. LEVEL-0 MAPS.  One fused device call computes, for every unique
+   fragment in the batch, the sparse maxMatches candidate map (all end
+   positions with match length >= seed_length above the `i <= 1` stop) —
+   kaiju_tpu.ops.fused_mem2.fused_greedy_map.
+
+2. CO-SIMULATION ROUNDS.  A level-synchronized simulation runs every
+   read's search with a LAGGING bound (the read's best score as of the
+   previous round; the true best only rises, so every fragment/variant
+   the reference touches is touched here too — a superset).  Each round
+   issues ONE batched resumed-extension call and ONE batched UpdateSI
+   probe call for all reads together, and records results in caches.
+   Rounds terminate when no queue entry reaches its read's bound; the
+   final best score equals the reference's (any extra evaluations score
+   strictly below their upper bound < best_final and cannot raise it).
+
+3. RESTRICTED EXACT REPLAY.  Per read, the reference algorithm is
+   replayed exactly — priority queue, SEG splitting, best dynamics, tie
+   caps — but entries whose score upper bound is below the known final
+   best are discarded unprocessed: they cannot contribute a best-scoring
+   match (their variants bound even lower), and pruning them cannot
+   change the relative pop order of the surviving entries (multimap tie
+   order is insertion order, which for survivors depends only on other
+   survivors' pop events).  Every search/probe the replay performs hits
+   the caches from step 2, so the replay is pure host logic.
+
+4. Batched SA resolution + LCA as in the MEM pipeline.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..constants import (
+    AA_TO_INT,
+    BLOSUM62,
+    BLOSUM62_DIAG,
+    BLOSUM_SUBST,
+    LAMBDA,
+    LN_2,
+    LN_K,
+)
+from ..index.alphabet import trans_table
+from ..index.core import KaijuIndex
+from ..io.taxonomy import Taxonomy
+from ..ops import device_index as dev
+from ..ops.fused_mem2 import fused_greedy_map
+from ..ops.kmer import KmerTables
+from .config import KaijuConfig
+from .core import ClassifyResult, _calc_score
+from .fragments_native import NativeFragmenter
+from .mem_fast import SEED_K, SaResolveMixin
+from .si import SI, insert_si_sorted, walk_group_heads
+
+MAP_CAP = 131072
+
+
+@dataclass
+class Entry:
+    key: int
+    seq: int
+    frag: str
+    num_mm: int = 0
+    diff: int = 0
+    si0: int = 0
+    si1: int = 0
+    matchlen: int = 0
+    checked: bool = True
+
+    def __lt__(self, other):  # heapq tiebreak never reaches here
+        return self.seq < other.seq
+
+
+class GreedyFastPipeline(SaResolveMixin):
+    def __init__(
+        self,
+        index: KaijuIndex,
+        taxonomy: Optional[Taxonomy],
+        config: KaijuConfig,
+        device_index: Optional[dev.DeviceIndex] = None,
+        kmer_tables: Optional[KmerTables] = None,
+        kmer_cache_dir: Optional[str] = None,
+    ):
+        assert config.mode == "greedy" and not config.taxonomy_free
+        from ..utils import enable_compile_cache
+
+        enable_compile_cache()
+        self.cfg = config
+        self.index = index
+        self.tax = taxonomy
+        self.dev = device_index or dev.DeviceIndex(index)
+        want_K = min(SEED_K, config.seed_length)
+        self.kmer = kmer_tables or KmerTables.load_or_build(
+            index, kmer_cache_dir, K=want_K, device_index=self.dev
+        )
+        self.seed_K = min(want_K, self.kmer.K)
+        import jax
+
+        self._seed_rec = jax.device_put(self.kmer.packed_seed_rec(self.seed_K))
+        self._trans = trans_table(index.alphabet)
+        self._frag_seg = NativeFragmenter(
+            "greedy", config.min_fragment_length, config.min_score,
+            config.seg, config.input_is_protein,
+        )
+        self._frag_raw = NativeFragmenter(
+            "greedy", config.min_fragment_length, config.min_score,
+            False, config.input_is_protein,
+        )
+        if config.seg:
+            from .seg_native import make_seg_filter
+
+            self._seg = make_seg_filter()
+            self._seg_cache: dict[str, list] = {}
+        else:
+            self._seg = None
+        # diag-score prefix sums per fragment: score of frag[a:b] is
+        # pref[b] - pref[a] (then clamped at 0 with diff added)
+        self._pref: dict[str, np.ndarray] = {}
+        self._diag_by_byte = np.zeros(256, dtype=np.int64)
+        for aa, i in AA_TO_INT.items():
+            self._diag_by_byte[ord(aa)] = int(BLOSUM62_DIAG[i])
+        self._diag_by_byte[
+            np.setdiff1d(np.arange(256), [ord(a) for a in AA_TO_INT])
+        ] = int(BLOSUM62_DIAG[AA_TO_INT["A"]])
+        # cross-batch caches
+        self._frag_ids: dict[str, int] = {}
+        self._frags: list[str] = []
+        self._gmaps: list = []  # uid -> (j desc, i, s0, s1) arrays
+        self._mm_cache: list = []  # uid -> maxMatches SI list (or False)
+        self._ext_cache: dict[tuple, tuple] = {}
+        self._probe_cache: dict[tuple, Optional[tuple]] = {}
+        self._m2: dict[int, int] = {}
+        self._ms = 32768
+        self._mout = MAP_CAP
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _bucket(n: int, lo: int) -> int:
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    def _uid(self, frag: str) -> int:
+        uid = self._frag_ids.get(frag)
+        if uid is None:
+            uid = len(self._frags)
+            self._frag_ids[frag] = uid
+            self._frags.append(frag)
+            self._gmaps.append(None)
+            self._mm_cache.append(None)
+        return uid
+
+    # ---- level-0 sparse maps -----------------------------------------
+
+    def _compute_maps(self, uids) -> None:
+        cfg = self.cfg
+        todo = [u for u in dict.fromkeys(uids) if self._gmaps[u] is None]
+        if not todo:
+            return
+        Lmap = min(cfg.seed_length, cfg.min_fragment_length)
+        j0 = Lmap - 1
+        K = min(self.seed_K, j0 + 1)
+        F = self._bucket(len(todo), 256)
+        encoded = []
+        for u in todo:
+            raw = np.frombuffer(self._frags[u].encode("ascii"), dtype=np.uint8)
+            encoded.append(self._trans[raw].astype(np.uint8))
+        total = sum(len(e) for e in encoded)
+        P = self._bucket(total, 4096)
+        flat = np.zeros(P, dtype=np.uint8)
+        frag_off = np.full(F + 1, total, dtype=np.int32)
+        pos = 0
+        for fi, e in enumerate(encoded):
+            frag_off[fi] = pos
+            flat[pos : pos + len(e)] = e
+            pos += len(e)
+        frag_off[len(encoded):] = pos
+
+        M2 = self._m2.setdefault(P, min(P // 2, 524288))
+        Ms, Mout = self._ms, self._mout
+        while True:
+            packed = np.asarray(
+                fused_greedy_map(
+                    self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
+                    K, j0, Lmap, M2, Mout, Ms,
+                )
+            )
+            n_rows, n2, n_surv = (int(x) for x in packed[Mout, :3])
+            if n_rows <= Mout and n2 <= M2 and n_surv <= Ms:
+                break
+            M2 = min(self._bucket(max(M2, n2), 4096), self._bucket(P, 4096))
+            Ms = self._bucket(max(Ms, n_surv), 4096)
+            Mout = self._bucket(max(Mout, n_rows), 4096)
+            self._m2[P] = M2
+            self._ms = Ms
+            self._mout = Mout
+
+        rows = packed[:n_rows]
+        # group rows per fragment in descending j (reference scan order)
+        order = np.lexsort((-rows[:, 1], rows[:, 0]))
+        rows = rows[order]
+        bounds = np.searchsorted(rows[:, 0], np.arange(F + 1))
+        for fi, u in enumerate(todo):
+            r = rows[bounds[fi] : bounds[fi + 1]]
+            self._gmaps[u] = (r[:, 1], r[:, 2], r[:, 3], r[:, 4])
+
+    def _max_matches(self, uid: int) -> Optional[SI]:
+        """maxMatches(frag, seed_length, 0) from the sparse map, cached
+        (reference: bwt.c:261-296; SI nodes are immutable after build)."""
+        res = self._mm_cache[uid]
+        if res is None:
+            js, i_arr, s0, s1 = self._gmaps[uid]
+            first: Optional[SI] = None
+            cur: Optional[SI] = None
+            for t in range(len(js)):
+                i = int(i_arr[t])
+                if cur is None or i < cur.qi:
+                    cur = SI(int(s0[t]), int(s1[t]) - int(s0[t]), i,
+                             int(js[t]) - i + 1)
+                    first = insert_si_sorted(first, cur)
+            res = first if first is not None else False
+            self._mm_cache[uid] = res
+        return res if res is not False else None
+
+    # ---- variant planning (reference: ConsumerThread.cpp:346-395) ----
+
+    def _frag_pref(self, frag: str) -> np.ndarray:
+        pref = self._pref.get(frag)
+        if pref is None:
+            raw = np.frombuffer(frag.encode("ascii"), dtype=np.uint8)
+            pref = np.concatenate(
+                [[0], np.cumsum(self._diag_by_byte[raw])]
+            )
+            self._pref[frag] = pref
+        return pref
+
+    def _score(self, frag: str, start: int, length: int, diff: int) -> int:
+        """calcScore via prefix sums (reference: ConsumerThread.cpp:397-404)."""
+        pref = self._frag_pref(frag)
+        s = diff + int(pref[start + length]) - int(pref[start])
+        return s if s > 0 else 0
+
+    def _plan_variants(self, e: Entry, pos, erase_pos, si: SI, bound,
+                       plan, probes):
+        cfg = self.cfg
+        fragment = e.frag
+        if erase_pos is not None and erase_pos < len(fragment):
+            fragment = fragment[:erase_pos]
+        orig = fragment[pos]
+        oi = AA_TO_INT[orig]
+        pref = self._frag_pref(e.frag)
+        whole = e.diff + int(pref[len(fragment)])
+        base = (whole if whole > 0 else 0) - int(BLOSUM62_DIAG[oi])
+        for sub in BLOSUM_SUBST[orig]:
+            bi = AA_TO_INT[sub]
+            score_after = base + int(BLOSUM62[oi, bi])
+            if score_after >= bound and score_after >= cfg.min_score:
+                code = int(self._trans[ord(sub)])
+                new_seq = fragment[:pos] + sub + fragment[pos + 1 :]
+                diff = int(BLOSUM62[oi, bi]) - int(BLOSUM62_DIAG[bi])
+                plan.append(
+                    (new_seq, score_after, e.num_mm + 1, e.diff + diff,
+                     si.ql + 1)
+                )
+                probes.append((code, si.start, si.start + si.len))
+            else:
+                break
+
+    def _plan_for_entry(self, e: Entry, si: SI, bound, plan, probes):
+        cfg = self.cfg
+        length = len(e.frag)
+        for node in walk_group_heads(si):
+            right_end = node.qi + node.ql - 1
+            if node.qi > 0 and right_end + 1 >= cfg.min_fragment_length:
+                erase = right_end + 1 if right_end < length - 1 else None
+                self._plan_variants(e, node.qi - 1, erase, node, bound,
+                                    plan, probes)
+
+    # ---- eval --------------------------------------------------------
+
+    def _sim_best(self, si: Optional[SI], e: Entry, best: int) -> int:
+        """Max achievable eval score of the SI tree (same node set as
+        eval_match_scores, ConsumerThread.cpp:751-797, scores only)."""
+        if si is None:
+            return best
+        cfg = self.cfg
+        if si.samelen is not None:
+            best = self._sim_best(si.samelen, e, best)
+        if si.next is not None and si.next.ql >= cfg.min_fragment_length:
+            best = self._sim_best(si.next, e, best)
+        score = self._score(e.frag, si.qi, si.ql, e.diff)
+        if score >= cfg.min_score and score > best:
+            best = score
+        return best
+
+    def _eval_exact(self, si, e: Entry, best, best_sis, best_frags):
+        """eval_match_scores (reference: ConsumerThread.cpp:751-797)."""
+        if si is None:
+            return best
+        cfg = self.cfg
+        if si.samelen is not None:
+            best = self._eval_exact(si.samelen, e, best, best_sis, best_frags)
+        if si.next is not None and si.next.ql >= cfg.min_fragment_length:
+            best = self._eval_exact(si.next, e, best, best_sis, best_frags)
+        score = self._score(e.frag, si.qi, si.ql, e.diff)
+        if score < cfg.min_score:
+            return best
+        if score > best:
+            best_sis.clear()
+            best_frags.clear()
+            best_sis.append(si)
+            if cfg.verbose:
+                best_frags.append(e.frag[si.qi : si.qi + si.ql])
+            return score
+        if score == best and len(best_sis) < cfg.max_matches_SI:
+            best_sis.append(si)
+            if cfg.verbose:
+                best_frags.append(e.frag[si.qi : si.qi + si.ql])
+        return best
+
+    # ---- batched device services -------------------------------------
+
+    def _serve_extends(self, lanes) -> None:
+        """lanes: list of (frag, si0, si1, matchlen) cache keys."""
+        todo = [k for k in dict.fromkeys(lanes) if k not in self._ext_cache]
+        if not todo:
+            return
+        N = self._bucket(len(todo), 64)
+        L = self._bucket(max(len(k[0]) for k in todo), 32)
+        codes = np.zeros((N, L), dtype=np.uint8)
+        start_i = np.zeros(N, dtype=np.int32)
+        s0 = np.zeros(N, dtype=np.int32)
+        s1 = np.ones(N, dtype=np.int32)
+        act = np.zeros(N, dtype=bool)
+        for t, (frag, a, b, ml) in enumerate(todo):
+            raw = np.frombuffer(frag.encode("ascii"), dtype=np.uint8)
+            e = self._trans[raw].astype(np.uint8)
+            codes[t, : len(e)] = e
+            start_i[t] = len(e) - ml
+            s0[t] = a
+            s1[t] = b
+            act[t] = True
+        fi, f0, f1 = (
+            np.asarray(x)
+            for x in dev.extend_from(
+                self.dev.blocks, self.dev.occ, self.dev.C,
+                codes, start_i, s0, s1, act,
+            )
+        )
+        for t, k in enumerate(todo):
+            self._ext_cache[k] = (int(fi[t]), int(f0[t]), int(f1[t]))
+
+    def _serve_probes(self, probes) -> None:
+        todo = [p for p in dict.fromkeys(probes) if p not in self._probe_cache]
+        if not todo:
+            return
+        N = self._bucket(len(todo), 64)
+        c = np.zeros(N, dtype=np.int32)
+        s0 = np.zeros(N, dtype=np.int32)
+        s1 = np.zeros(N, dtype=np.int32)
+        for t, (cc, a, b) in enumerate(todo):
+            c[t], s0[t], s1[t] = cc, a, b
+        n0, n1, ok = (
+            np.asarray(x)
+            for x in dev.probe_updates(
+                self.dev.blocks, self.dev.occ, self.dev.C, c, s0, s1
+            )
+        )
+        for t, p in enumerate(todo):
+            self._probe_cache[p] = (int(n0[t]), int(n1[t])) if ok[t] else None
+
+    def _resume_si(self, e: Entry) -> Optional[SI]:
+        cfg = self.cfg
+        L = (
+            cfg.min_fragment_length
+            if e.num_mm == cfg.mismatches
+            else e.matchlen
+        )
+        i, s0, s1 = self._ext_cache[(e.frag, e.si0, e.si1, e.matchlen)]
+        ml = len(e.frag) - i
+        if ml >= L:
+            return SI(s0, s1 - s0, i, ml)
+        return None
+
+    # ---- co-simulation ------------------------------------------------
+
+    def _simulate(self, orders, keys_of):
+        """Compute per-read best_final, filling the extend/probe caches.
+
+        orders: per read the pop-all fragment uid list (post-SEG
+        superset); keys_of: uid -> queue key."""
+        cfg = self.cfg
+        n = len(orders)
+        best = [0] * n
+        # round 1: all original fragments
+        plan_all: list = []
+        probes_all: list = []
+        pend: list[list[Entry]] = [[] for _ in range(n)]
+        for r, order in enumerate(orders):
+            plan_r: list = []
+            probes_r: list = []
+            for uid in order:
+                si = self._max_matches(uid)
+                if si is None:
+                    continue
+                e = Entry(key=keys_of[uid], seq=0, frag=self._frags[uid])
+                if cfg.mismatches > 0:
+                    self._plan_for_entry(
+                        e, si, max(best[r], cfg.min_score), plan_r, probes_r
+                    )
+                if si.ql >= cfg.min_fragment_length:
+                    best[r] = self._sim_best(si, e, best[r])
+            plan_all.append(plan_r)
+            probes_all.append(probes_r)
+
+        rounds = 0
+        while True:
+            rounds += 1
+            flat_probes = [p for pr in probes_all for p in pr]
+            if flat_probes:
+                self._serve_probes(flat_probes)
+            # materialize children
+            for r in range(n):
+                for (new_seq, score_after, num_mm, diff, ql), probe in zip(
+                    plan_all[r], probes_all[r]
+                ):
+                    res = self._probe_cache.get(probe)
+                    if res is None:
+                        continue
+                    pend[r].append(
+                        Entry(
+                            key=score_after, seq=0, frag=new_seq,
+                            num_mm=num_mm, diff=diff,
+                            si0=res[0], si1=res[1], matchlen=ql,
+                        )
+                    )
+            # pick this round's active children
+            active: list[tuple[int, Entry]] = []
+            for r in range(n):
+                keep = []
+                for e in pend[r]:
+                    if e.key >= max(best[r], cfg.min_score):
+                        active.append((r, e))
+                    else:
+                        keep.append(e)
+                pend[r] = keep
+            if not active:
+                break
+            self._serve_extends(
+                [(e.frag, e.si0, e.si1, e.matchlen) for _r, e in active]
+            )
+            plan_all = [[] for _ in range(n)]
+            probes_all = [[] for _ in range(n)]
+            for r, e in active:
+                si = self._resume_si(e)
+                if si is None:
+                    continue
+                if e.num_mm < cfg.mismatches:
+                    self._plan_for_entry(
+                        e, si, max(best[r], cfg.min_score),
+                        plan_all[r], probes_all[r],
+                    )
+                if si.ql >= cfg.min_fragment_length:
+                    best[r] = self._sim_best(si, e, best[r])
+        return best
+
+    # ---- restricted exact replay --------------------------------------
+
+    def _seg_intervals(self, frag: str):
+        ivs = self._seg_cache.get(frag)
+        if ivs is None:
+            ivs = self._seg.mask_intervals(frag)
+            self._seg_cache[frag] = ivs
+        return ivs
+
+    def _replay(self, raw_uids, keys_of, best_final):
+        """Exact reference replay restricted to entries whose upper bound
+        reaches best_final (reference: ConsumerThread.cpp:424-541)."""
+        cfg = self.cfg
+        heap: list[tuple[int, int, Entry]] = []
+        seq = 0
+        for uid in raw_uids:
+            e = Entry(key=keys_of[uid], seq=seq, frag=self._frags[uid],
+                      checked=not cfg.seg)
+            heap.append((-e.key, seq, e))
+            seq += 1
+        heapq.heapify(heap)
+        best = 0
+        best_sis: list[SI] = []
+        best_frags: list[str] = []
+        while heap:
+            key = -heap[0][0]
+            if key < best:
+                break
+            _, _, e = heapq.heappop(heap)
+            if key < best_final:
+                continue  # cannot contribute; removal is order-invisible
+            if not e.checked:
+                locs = self._seg_intervals(e.frag)
+                if locs:
+                    start = 0
+                    for left, right in locs:
+                        seq = self._requeue(heap, e.frag, start,
+                                            left - start, seq)
+                        start = right + 1
+                    seq = self._requeue(heap, e.frag, start,
+                                        len(e.frag) - start, seq)
+                    continue
+            if e.num_mm == 0:
+                si = self._max_matches(self._frag_ids[e.frag])
+            else:
+                si = self._resume_si(e)
+            if si is None:
+                continue
+            if cfg.mismatches > 0 and e.num_mm < cfg.mismatches:
+                plan: list = []
+                probes: list = []
+                self._plan_for_entry(
+                    e, si, max(best, cfg.min_score), plan, probes
+                )
+                for (new_seq, score_after, num_mm, diff, ql), probe in zip(
+                    plan, probes
+                ):
+                    if score_after < best_final:
+                        continue  # non-contributor subtree; cache may miss
+                    res = self._probe_cache.get(probe, "MISS")
+                    if res == "MISS":
+                        self._serve_probes([probe])
+                        res = self._probe_cache[probe]
+                    if res is None:
+                        continue
+                    child = Entry(
+                        key=score_after, seq=seq, frag=new_seq,
+                        num_mm=num_mm, diff=diff, si0=res[0], si1=res[1],
+                        matchlen=ql,
+                    )
+                    heapq.heappush(heap, (-child.key, seq, child))
+                    seq += 1
+            if si.ql < cfg.min_fragment_length:
+                continue
+            best = self._eval_exact(si, e, best, best_sis, best_frags)
+        return best, best_sis, best_frags
+
+    def _requeue(self, heap, fragment, start, length, seq):
+        """(reference: ConsumerThread.cpp:298-322)."""
+        cfg = self.cfg
+        if length > cfg.min_fragment_length:
+            piece = fragment[start : start + length]
+            score = self._score(fragment, start, length, 0)
+            if score >= cfg.min_score:
+                uid = self._uid(piece)
+                if self._gmaps[uid] is None:
+                    # piece never searched in the simulation's superset:
+                    # only possible when its parent was itself pruned —
+                    # compute lazily (rare)
+                    self._compute_maps([uid])
+                e = Entry(key=score, seq=seq, frag=piece)
+                heapq.heappush(heap, (-score, seq, e))
+                seq += 1
+        return seq
+
+    # ---- entry --------------------------------------------------------
+
+    def classify_batch(self, reads):
+        return self.collect_batch(self.submit_batch(reads))
+
+    def classify_stream(self, batches):
+        state = None
+        for batch in batches:
+            nxt = self.submit_batch(batch)
+            if state is not None:
+                yield self.collect_batch(state)
+            state = nxt
+        if state is not None:
+            yield self.collect_batch(state)
+
+    def submit_batch(self, reads):
+        frags_all, orders_all, keys_all = self._frag_seg.run(
+            reads, with_keys=True
+        )
+        guid = [self._uid(f) for f in frags_all]
+        orders = [[guid[u] for u in o] for o in orders_all]
+        keys_of = {}
+        for lu, gu in enumerate(guid):
+            keys_of[gu] = int(keys_all[lu])
+        self._compute_maps([u for o in orders for u in o])
+        return (reads, orders, keys_of)
+
+    def collect_batch(self, state):
+        cfg = self.cfg
+        reads, orders, keys_of = state
+        if cfg.seg:
+            frags_raw, orders_raw, keys_raw = self._frag_raw.run(
+                reads, with_keys=True
+            )
+            guid_raw = [self._uid(f) for f in frags_raw]
+            raw_orders = [[guid_raw[u] for u in o] for o in orders_raw]
+            for lu, gu in enumerate(guid_raw):
+                keys_of.setdefault(gu, int(keys_raw[lu]))
+        else:
+            raw_orders = orders
+
+        best_final = self._simulate(orders, keys_of)
+
+        per_read = []
+        si_orders = []
+        for r, (name, s1, s2) in enumerate(reads):
+            if not raw_orders[r] and not orders[r]:
+                per_read.append((name, None, 0, []))
+                si_orders.append([])
+                continue
+            best, best_sis, best_frags = self._replay(
+                raw_orders[r], keys_of, best_final[r]
+            )
+            if not best_sis:
+                per_read.append((name, None, 0, []))
+                si_orders.append([])
+                continue
+            if cfg.use_Evalue:
+                if cfg.input_is_protein:
+                    qlen = float(len(s1))
+                else:
+                    qlen = len(s1) / 3.0 + (len(s2) / 3.0 if s2 else 0.0)
+                bitscore = (LAMBDA * best - LN_K) / LN_2
+                evalue = (
+                    float(self.index.db_length) * qlen
+                    * math.pow(2.0, -bitscore)
+                )
+                if evalue > cfg.min_Evalue:
+                    per_read.append((name, None, 0, []))
+                    si_orders.append([])
+                    continue
+            per_read.append((name, best_sis, best, best_frags))
+            si_orders.append([(si.start, si.start + si.len)
+                              for si in best_sis])
+
+        resolved = self._resolve_ids(si_orders)
+
+        out = []
+        for (name, best_sis, score, vfrags), (ids, dbnames) in zip(
+            per_read, resolved
+        ):
+            if best_sis is None or not ids:
+                out.append((name, ClassifyResult(False, 0, u_zero=False)))
+                continue
+            if len(ids) == 1:
+                lca = ids[0]
+            elif self.tax is not None:
+                lca = self.tax.lca(ids, verbose=cfg.verbose)
+            else:
+                lca = 0
+            out.append(
+                (
+                    name,
+                    ClassifyResult(
+                        classified=lca > 0,
+                        lca=lca,
+                        score=score,
+                        match_ids=ids,
+                        match_dbnames=dbnames,
+                        match_fragments=vfrags,
+                    ),
+                )
+            )
+        return out

@@ -50,7 +50,99 @@ SEED_K = 5  # packed seed-record depth for the fused device search
 TIE_CAP = 8  # per-fragment tie list width returned by the fused search
 
 
-class MemFastPipeline:
+class SaResolveMixin:
+    """Batched SA-position -> taxon-id resolution with the reference's
+    enumeration caps, shared by the MEM and Greedy pipelines (requires
+    self.cfg, self.index, self.dev)."""
+
+    def _sa_lookup_batch(self, ks: list[int], sa_cache: dict[int, int]) -> None:
+        idx = self.index
+        uniq = [k for k in dict.fromkeys(ks) if k not in sa_cache]
+        if not uniq:
+            return
+        e = idx.chpt_exp
+        pad_k = ((idx.nseq + (1 << e) - 1) >> e) << e
+        for pos in range(0, len(uniq), SA_ROWS):
+            part = uniq[pos : pos + SA_ROWS]
+            karr = np.full(SA_ROWS, pad_k, dtype=np.int32)
+            karr[: len(part)] = part
+            iseq, _pos = (
+                np.asarray(a)
+                for a in dev.sa_lookup_fused(
+                    self.dev.rec, self.dev.C,
+                    self.dev.sa_seq, self.dev.sa_off,
+                    idx.nseq, idx.chpt_exp, karr,
+                )
+            )
+            for t, k in enumerate(part):
+                sa_cache[k] = int(iseq[t])
+
+    def _resolve_ids(self, per_read_ranges: list[list[tuple[int, int]]]):
+        """ids/dbnames per read with the reference enumeration caps.
+
+        The reference checks `ids.size() > max_match_ids` before every
+        position of every SI, so once exceeded, every later range breaks at
+        its first position too: enumeration stops globally
+        (reference: ConsumerThread.cpp:799-845)."""
+        cfg = self.cfg
+        idx = self.index
+        states = []
+        for ranges in per_read_ranges:
+            states.append(
+                {
+                    "ids": set(),
+                    "dbnames": set(),
+                    "ri": 0,
+                    "off": 0,
+                    "done": not ranges,
+                    "ranges": ranges,
+                }
+            )
+        chunk = cfg.max_match_ids + 6
+        sa_cache: dict[int, int] = {}
+        while True:
+            postings: list[tuple[int, list[int]]] = []
+            all_ks: list[int] = []
+            for rid, st in enumerate(states):
+                if st["done"]:
+                    continue
+                ks = []
+                while st["ri"] < len(st["ranges"]) and len(ks) < chunk:
+                    s0, s1 = st["ranges"][st["ri"]]
+                    if s0 + st["off"] >= s1:
+                        st["ri"] += 1
+                        st["off"] = 0
+                        continue
+                    take = min(chunk - len(ks), s1 - (s0 + st["off"]))
+                    ks.extend(range(s0 + st["off"], s0 + st["off"] + take))
+                    st["off"] += take
+                if ks:
+                    postings.append((rid, ks))
+                    all_ks.extend(ks)
+                else:
+                    st["done"] = True
+            if not postings:
+                break
+            self._sa_lookup_batch(all_ks, sa_cache)
+            for rid, ks in postings:
+                st = states[rid]
+                for k in ks:
+                    if len(st["ids"]) > cfg.max_match_ids:
+                        st["done"] = True
+                        break
+                    name = idx.names[sa_cache[k]]
+                    taxid = parse_taxid(name)
+                    if (
+                        "_" in name
+                        and cfg.verbose
+                        and len(st["dbnames"]) < cfg.max_match_acc
+                    ):
+                        st["dbnames"].add(name.rsplit("_", 1)[0])
+                    st["ids"].add(taxid)
+        return [(sorted(st["ids"]), sorted(st["dbnames"])) for st in states]
+
+
+class MemFastPipeline(SaResolveMixin):
     def __init__(
         self,
         index: KaijuIndex,
@@ -321,94 +413,6 @@ class MemFastPipeline:
                 frag = self._frags[u]
                 verbose_frags.append(frag[qi : qi + longest])
         return ranges, verbose_frags
-
-    # ---- batched SA resolution ---------------------------------------
-
-    def _sa_lookup_batch(self, ks: list[int], sa_cache: dict[int, int]) -> None:
-        idx = self.index
-        uniq = [k for k in dict.fromkeys(ks) if k not in sa_cache]
-        if not uniq:
-            return
-        e = idx.chpt_exp
-        pad_k = ((idx.nseq + (1 << e) - 1) >> e) << e
-        for pos in range(0, len(uniq), SA_ROWS):
-            part = uniq[pos : pos + SA_ROWS]
-            karr = np.full(SA_ROWS, pad_k, dtype=np.int32)
-            karr[: len(part)] = part
-            iseq, _pos = (
-                np.asarray(a)
-                for a in dev.sa_lookup_fused(
-                    self.dev.rec, self.dev.C,
-                    self.dev.sa_seq, self.dev.sa_off,
-                    idx.nseq, idx.chpt_exp, karr,
-                )
-            )
-            for t, k in enumerate(part):
-                sa_cache[k] = int(iseq[t])
-
-    def _resolve_ids(self, per_read_ranges: list[list[tuple[int, int]]]):
-        """ids/dbnames per read with the reference enumeration caps.
-
-        The reference checks `ids.size() > max_match_ids` before every
-        position of every SI, so once exceeded, every later range breaks at
-        its first position too: enumeration stops globally
-        (reference: ConsumerThread.cpp:799-845)."""
-        cfg = self.cfg
-        idx = self.index
-        states = []
-        for ranges in per_read_ranges:
-            states.append(
-                {
-                    "ids": set(),
-                    "dbnames": set(),
-                    "ri": 0,
-                    "off": 0,
-                    "done": not ranges,
-                    "ranges": ranges,
-                }
-            )
-        chunk = cfg.max_match_ids + 6
-        sa_cache: dict[int, int] = {}
-        while True:
-            postings: list[tuple[int, list[int]]] = []
-            all_ks: list[int] = []
-            for rid, st in enumerate(states):
-                if st["done"]:
-                    continue
-                ks = []
-                while st["ri"] < len(st["ranges"]) and len(ks) < chunk:
-                    s0, s1 = st["ranges"][st["ri"]]
-                    if s0 + st["off"] >= s1:
-                        st["ri"] += 1
-                        st["off"] = 0
-                        continue
-                    take = min(chunk - len(ks), s1 - (s0 + st["off"]))
-                    ks.extend(range(s0 + st["off"], s0 + st["off"] + take))
-                    st["off"] += take
-                if ks:
-                    postings.append((rid, ks))
-                    all_ks.extend(ks)
-                else:
-                    st["done"] = True
-            if not postings:
-                break
-            self._sa_lookup_batch(all_ks, sa_cache)
-            for rid, ks in postings:
-                st = states[rid]
-                for k in ks:
-                    if len(st["ids"]) > cfg.max_match_ids:
-                        st["done"] = True
-                        break
-                    name = idx.names[sa_cache[k]]
-                    taxid = parse_taxid(name)
-                    if (
-                        "_" in name
-                        and cfg.verbose
-                        and len(st["dbnames"]) < cfg.max_match_acc
-                    ):
-                        st["dbnames"].add(name.rsplit("_", 1)[0])
-                    st["ids"].add(taxid)
-        return [(sorted(st["ids"]), sorted(st["dbnames"])) for st in states]
 
     # ---- entry --------------------------------------------------------
 

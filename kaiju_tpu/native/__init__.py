@@ -62,6 +62,7 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64,                   # frag off
                 ctypes.c_void_p, ctypes.c_int64,                   # uids
                 ctypes.c_void_p,                                   # read off
+                ctypes.c_void_p,                                   # frag keys
                 ctypes.c_void_p,                                   # counts
             ]
             lib.kt_build_bwt.argtypes = [

@@ -225,6 +225,7 @@ int kt_fragment_batch(
     int64_t* frag_off_out, int64_t frag_cap,
     int32_t* uid_out, int64_t uid_cap,
     int64_t* read_uid_off,
+    int64_t* frag_keys_out,  // queue key per unique fragment (len or score)
     int64_t* counts_out) {
     std::unordered_map<std::string, int32_t> uid_of;
     int64_t chars = 0;
@@ -234,13 +235,14 @@ int kt_fragment_batch(
     std::vector<std::string> pool;
     std::vector<int32_t> seg_buf(8192);
 
-    auto intern = [&](const std::string& f) -> int32_t {
+    auto intern = [&](const std::string& f, int64_t key) -> int32_t {
         auto it = uid_of.find(f);
         if (it != uid_of.end()) return it->second;
         int32_t uid = (int32_t)n_frags;
         if (n_frags >= frag_cap || chars + (int64_t)f.size() > frag_buf_cap)
             return -1;
         frag_off_out[n_frags] = chars;
+        frag_keys_out[n_frags] = key;
         std::memcpy(frag_buf + chars, f.data(), f.size());
         chars += (int64_t)f.size();
         ++n_frags;
@@ -321,7 +323,7 @@ int kt_fragment_batch(
                     continue;
                 }
             }
-            int32_t uid = intern(frag);
+            int32_t uid = intern(frag, e.key);
             if (uid < 0) return -1;
             if (n_uids >= uid_cap) return -1;
             uid_out[n_uids++] = uid;

@@ -105,25 +105,11 @@ def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms):
 PRE_STEPS = 6  # extension steps run on all lanes before compaction
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
-def fused_mem_search2(
-    rec, C, seed_rec, flat_codes, frag_off, kid_ok, K, j0, min_len, M2, T, Ms
-):
-    """flat_codes: uint8 [P] concatenated fragment letter codes;
-    frag_off: int32 [F+1] (monotone; last = true P; trailing pad fragment
-    rows must repeat the end offset); kid_ok: bool scalar array (unused
-    placeholder for future presence bitmaps).
+def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms):
+    """Shared strip + remainder search over the flat fragment layout.
 
-    Static: K seed depth (>= 1; requires j0 >= K-1), j0, min_len, M2
-    (phase-2 lane capacity), T (tie cap), Ms (survivor capacity of the
-    post-PRE_STEPS compacted completion loops).
-
-    Returns one packed int32 array [F+1, 2+3T]: rows 0..F-1 are
-    (maxl, tie_cnt, tie_j[T], tie_s0[T], tie_s1[T]) per fragment; row F
-    carries (n2, n_surv) in its first two columns.  n2 > M2 or
-    n_surv > Ms means a capacity overflow: retry with the reported
-    capacities.
-    """
+    Returns a dict with the per-lane results of both phases plus the
+    coordinate arrays (see fused_mem_search2 for the meanings)."""
     P = flat_codes.shape[0]
     F = frag_off.shape[0] - 1
     c32 = flat_codes.astype(jnp.int32)
@@ -199,7 +185,7 @@ def fused_mem_search2(
         rec, C, flat_codes, base2, i2, s02, s12, alive2, PRE_STEPS, Ms
     )
 
-    # ---- per-fragment statistics from the two evaluated lane sets -----
+    # ---- per-fragment coordinates of the two evaluated lane sets ------
     # strip lanes form a regular [F, W] grid (j descending in w); phase-2
     # lanes are a compacted [M2] set.  The two are disjoint, and every
     # phase-2 j is strictly below every strip j of the same fragment.
@@ -219,6 +205,43 @@ def fused_mem_search2(
         jnp.max(jnp.where(strip_valid & (i1g <= 1), strip_j, -1), axis=1),
         seg_max(jnp.where(v2 & (i2 <= 1), j2, -1), fid2),
     )
+    return dict(
+        F=F, strip_j=strip_j, strip_valid=strip_valid,
+        i1g=i1g, s01g=s01g, s11g=s11g, len1=len1,
+        pos2=pos2, v2=v2, fid2=fid2, j2=j2, i2=i2, s02=s02, s12=s12,
+        len2=len2, jstop=jstop, seg_max=seg_max,
+        n2=n2, nsurv=jnp.maximum(nsurv1, nsurv2),
+    )
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def fused_mem_search2(
+    rec, C, seed_rec, flat_codes, frag_off, kid_ok, K, j0, min_len, M2, T, Ms
+):
+    """flat_codes: uint8 [P] concatenated fragment letter codes;
+    frag_off: int32 [F+1] (monotone; last = true P; trailing pad fragment
+    rows must repeat the end offset); kid_ok: bool scalar array (unused
+    placeholder for future presence bitmaps).
+
+    Static: K seed depth (>= 1; requires j0 >= K-1), j0, min_len, M2
+    (phase-2 lane capacity), T (tie cap), Ms (survivor capacity of the
+    post-PRE_STEPS compacted completion loops).
+
+    Returns one packed int32 array [F+1, 2+3T]: rows 0..F-1 are
+    (maxl, tie_cnt, tie_j[T], tie_s0[T], tie_s1[T]) per fragment; row F
+    carries (n2, n_surv) in its first two columns.  n2 > M2 or
+    n_surv > Ms means a capacity overflow: retry with the reported
+    capacities.
+    """
+    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms)
+    F = ph["F"]
+    strip_j, strip_valid = ph["strip_j"], ph["strip_valid"]
+    s01g, s11g, len1 = ph["s01g"], ph["s11g"], ph["len1"]
+    v2, fid2, j2 = ph["v2"], ph["fid2"], ph["j2"]
+    s02, s12, len2 = ph["s02"], ph["s12"], ph["len2"]
+    jstop, seg_max = ph["jstop"], ph["seg_max"]
+    n2, nsurv = ph["n2"], ph["nsurv"]
+
     elig1 = strip_valid & (strip_j >= jstop[:, None]) & (len1 >= min_len)
     elig2 = v2 & (j2 >= jstop[fid2]) & (len2 >= min_len)
     maxl = jnp.maximum(
@@ -265,5 +288,59 @@ def fused_mem_search2(
         [maxl[:, None], tie_cnt[:, None], tie_j, tie_s0, tie_s1], axis=1
     )
     scal = jnp.zeros((1, 2 + 3 * T), jnp.int32)
-    scal = scal.at[0, 0].set(n2).at[0, 1].set(jnp.maximum(nsurv1, nsurv2))
+    scal = scal.at[0, 0].set(n2).at[0, 1].set(nsurv)
+    return jnp.concatenate([out, scal], axis=0)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+def fused_greedy_map(
+    rec, C, seed_rec, flat_codes, frag_off, K, j0, Lmap, M2, Mout, Ms
+):
+    """Sparse maxMatches map for the Greedy engine: every evaluated end
+    position j with j >= jstop(fragment) and match length >= Lmap, i.e.
+    exactly the candidate set the reference's maxMatches insertion loop
+    visits (reference: bwt.c:261-296 with max_matches = 0, so L never
+    grows).  j0 must be Lmap - 1.
+
+    Returns packed int32 [Mout+1, 5]: rows (fid, j, i, s0, s1), unsorted;
+    last row = (n_rows, n2, n_surv, 0, 0).  Overflow on any of the three
+    counts => retry with larger capacities.
+    """
+    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms)
+    F = ph["F"]
+    strip_j, strip_valid = ph["strip_j"], ph["strip_valid"]
+    i1g, s01g, s11g, len1 = ph["i1g"], ph["s01g"], ph["s11g"], ph["len1"]
+    v2, fid2, j2 = ph["v2"], ph["fid2"], ph["j2"]
+    i2, s02, s12, len2 = ph["i2"], ph["s02"], ph["s12"], ph["len2"]
+    jstop = ph["jstop"]
+
+    elig1 = (strip_valid & (strip_j >= jstop[:, None]) & (len1 >= Lmap)).reshape(-1)
+    elig2 = v2 & (j2 >= jstop[fid2]) & (len2 >= Lmap)
+    fgrid = jax.lax.broadcasted_iota(jnp.int32, (F, STRIP_W), 0).reshape(-1)
+
+    both = jnp.concatenate([elig1, elig2])
+    n_rows = jnp.sum(both, dtype=jnp.int32)
+    slot = jnp.cumsum(both, dtype=jnp.int32) - 1
+    slot = jnp.where(both & (slot < Mout), slot, Mout)
+
+    def col(v1, v2_):
+        vals = jnp.concatenate([v1, v2_])
+        return jnp.zeros((Mout + 1,), jnp.int32).at[slot].set(
+            vals, mode="drop"
+        )[:Mout]
+
+    out = jnp.stack(
+        [
+            col(fgrid, fid2),
+            col(strip_j.reshape(-1), j2),
+            col(i1g.reshape(-1), i2),
+            col(s01g.reshape(-1), s02),
+            col(s11g.reshape(-1), s12),
+        ],
+        axis=1,
+    )
+    scal = jnp.zeros((1, 5), jnp.int32)
+    scal = (
+        scal.at[0, 0].set(n_rows).at[0, 1].set(ph["n2"]).at[0, 2].set(ph["nsurv"])
+    )
     return jnp.concatenate([out, scal], axis=0)

@@ -27,14 +27,18 @@ def open_output(path: str | None):
 def make_runner(index, taxonomy, cfg: KaijuConfig):
     """Best engine for the configuration: the vectorized MEM pipeline when
     applicable, the coroutine batch runner otherwise."""
+    kmer_dir = os.environ.get("KAIJU_TPU_CACHE")
+    if kmer_dir is None and getattr(index, "source_dir", None):
+        # cache the k-mer seed tables beside the index itself
+        kmer_dir = index.source_dir
     if cfg.mode == "mem" and not cfg.taxonomy_free:
         from ..engine.mem_fast import MemFastPipeline
 
-        kmer_dir = os.environ.get("KAIJU_TPU_CACHE")
-        if kmer_dir is None and getattr(index, "source_dir", None):
-            # cache the k-mer seed tables beside the index itself
-            kmer_dir = index.source_dir
         return MemFastPipeline(index, taxonomy, cfg, kmer_cache_dir=kmer_dir)
+    if cfg.mode == "greedy" and not cfg.taxonomy_free:
+        from ..engine.greedy_fast import GreedyFastPipeline
+
+        return GreedyFastPipeline(index, taxonomy, cfg, kmer_cache_dir=kmer_dir)
     from ..engine.batch import BatchRunner
 
     return BatchRunner(index, taxonomy, cfg)
