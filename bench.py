@@ -20,11 +20,15 @@ import time
 
 import numpy as np
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 ORACLE_BIN = os.environ.get("KAIJU_ORACLE_BIN", "/tmp/kaiju-oracle/bin")
-DB_LETTERS = int(os.environ.get("KAIJU_BENCH_DB_LETTERS", 8_000_000))
+DB_LETTERS = int(os.environ.get("KAIJU_BENCH_DB_LETTERS", 64_000_000))
 N_READS = int(os.environ.get("KAIJU_BENCH_READS", 20_000))
 BATCH = int(os.environ.get("KAIJU_BENCH_BATCH", 4096))
+CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".bench_cache",
+    f"db{DB_LETTERS // 1_000_000}M",
+)
 
 
 def log(msg):
@@ -116,10 +120,11 @@ def run_mine(index, nodes, reads):
         index, tax, cfg, kmer_cache_dir=os.path.join(CACHE, "db.ktx")
     )
     items = [(n, s, None) for n, s in reads]
-    # warmup on a slice (compiles the shape buckets)
+    # warmup on a full-size batch (compiles the production shape buckets;
+    # executables persist in the on-disk compile cache across runs)
     t0 = time.time()
-    pipe.classify_batch(items[:256])
-    log(f"bench: warmup (256 reads incl. compile) {time.time()-t0:.1f}s")
+    pipe.classify_batch(items[:BATCH])
+    log(f"bench: warmup ({BATCH} reads incl. compile) {time.time()-t0:.1f}s")
 
     t0 = time.time()
     out_lines = []
