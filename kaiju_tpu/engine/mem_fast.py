@@ -188,6 +188,20 @@ class MemFastPipeline(SaResolveMixin):
         self._frags: list[str] = []
         # uid -> (maxl, [(tie j, si0, si1) ascending j])
         self._stats: list = []
+        # fully-fused device classification (search + SA + LCA in one
+        # call); falls back to the host tail per read when budgets
+        # overflow.  Verbose output needs names, so it stays on the host
+        # tail path.
+        self._device_tail = taxonomy is not None and not config.verbose
+        if self._device_tail:
+            import jax
+
+            par, dep = taxonomy.dense_arrays()
+            self._parent = jax.device_put(par)
+            self._depth = jax.device_put(dep)
+            self._seq_tax = jax.device_put(
+                np.asarray(index.seq_taxids, dtype=np.int32)
+            )
 
     # ---- SEG ----------------------------------------------------------
 
@@ -416,16 +430,167 @@ class MemFastPipeline(SaResolveMixin):
 
     # ---- entry --------------------------------------------------------
 
+    S_SLOTS = 16  # pop-order slots per read in the fused-classify table
+    R_BUDGET = 64  # SA positions resolved on device per read
+
     def submit_batch(self, reads):
         """Host fragmenting + async device dispatch for one batch.  The
         returned state is consumed by collect_batch; submitting the next
         batch before collecting the previous overlaps host work with
         device compute (the device queue stays busy)."""
         frags, orders_local = self._fragmenter.run(reads)
+        if self._device_tail:
+            return self._submit_tail(reads, frags, orders_local)
         guid = [self._uid(f) for f in frags]
         orders = [[guid[u] for u in o] for o in orders_local]
         pending = self._dispatch_maps([u for o in orders for u in o])
-        return (reads, orders, pending)
+        return ("host", reads, orders, pending)
+
+    # ---- fully-fused device path -------------------------------------
+
+    def _submit_tail(self, reads, frags, orders):
+        from ..ops.fused_classify import fused_mem_classify
+
+        cfg = self.cfg
+        j0 = cfg.min_fragment_length - 1
+        B = len(reads)
+        F = self._bucket(max(len(frags), 1), 256)
+        encoded = []
+        for f in frags:
+            raw = np.frombuffer(f.encode("ascii"), dtype=np.uint8)
+            encoded.append(self._trans[raw].astype(np.uint8))
+        total = sum(len(e) for e in encoded)
+        P = self._bucket(max(total, 1), 4096)
+        flat = np.zeros(P, dtype=np.uint8)
+        frag_off = np.full(F + 1, total, dtype=np.int32)
+        pos = 0
+        for fi, e in enumerate(encoded):
+            frag_off[fi] = pos
+            flat[pos : pos + len(e)] = e
+            pos += len(e)
+        frag_off[len(encoded):] = pos
+
+        S = self.S_SLOTS
+        rf_rows = np.full((B, S), -1, dtype=np.int32)
+        fallback = []
+        for r, order in enumerate(orders):
+            if len(order) > S:
+                fallback.append(r)
+            else:
+                rf_rows[r, : len(order)] = order
+
+        M2 = self._m2.setdefault(P, min(P // 4, 262144))
+        Ms = self._ms
+        args = (flat, frag_off, rf_rows)
+        out = fused_mem_classify(
+            self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
+            rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
+            self._parent, self._depth,
+            self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
+            self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
+            self.index.chpt_exp, )
+        return ("tail", reads, frags, orders, fallback, args, M2, Ms, out)
+
+    def _collect_tail(self, state):
+        from ..ops.fused_classify import (
+            FLAG_NEED_MORE,
+            FLAG_TIE_OVER,
+            fused_mem_classify,
+        )
+
+        cfg = self.cfg
+        _tag, reads, frags, orders, fallback, args, M2, Ms, out = state
+        flat, frag_off, rf_rows = args
+        j0 = cfg.min_fragment_length - 1
+        B = len(reads)
+        while True:
+            packed = np.asarray(out)
+            n2, n_surv = int(packed[B, 0]), int(packed[B, 1])
+            if n2 <= M2 and n_surv <= Ms:
+                break
+            P = flat.shape[0]
+            M2 = min(self._bucket(max(M2, n2), 4096), self._bucket(P, 4096))
+            Ms = self._bucket(max(Ms, n_surv), 4096)
+            self._m2[P] = M2
+            self._ms = Ms
+            out = fused_mem_classify(
+                self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
+                rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
+                self._parent, self._depth,
+                self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
+                self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
+                self.index.chpt_exp,
+            )
+
+        flagged = set(fallback)
+        for r in range(B):
+            if packed[r, 2] & (FLAG_TIE_OVER | FLAG_NEED_MORE):
+                flagged.add(r)
+        redo = {}
+        if flagged:
+            sub = [reads[r] for r in sorted(flagged)]
+            sub_orders = [
+                [self._uid(frags[u]) for u in orders[r]]
+                for r in sorted(flagged)
+            ]
+            self._compute_maps([u for o in sub_orders for u in o])
+            for rr, res in zip(
+                sorted(flagged), self._host_tail(sub, sub_orders)
+            ):
+                redo[rr] = res
+
+        results = []
+        for r, (name, _s1, _s2) in enumerate(reads):
+            if r in redo:
+                results.append((name, redo[r]))
+                continue
+            lca, score, _flags, n_ids = (int(x) for x in packed[r])
+            if score == 0 or n_ids == 0:
+                results.append((name, ClassifyResult(False, 0)))
+            else:
+                results.append(
+                    (name, ClassifyResult(lca > 0, lca, score=score))
+                )
+        return results
+
+    def _host_tail(self, reads, orders):
+        """Host assembly + batched SA resolution for a handful of reads
+        (budget-overflow fallback); mirrors the non-fused collect path."""
+        cfg = self.cfg
+        assembled = []
+        read_longest = []
+        for order in orders:
+            if not order:
+                read_longest.append(0)
+                assembled.append(([], []))
+                continue
+            longest = max(self._stats[u][0] for u in order)
+            read_longest.append(longest)
+            assembled.append(
+                self._assemble(order, longest) if longest else ([], [])
+            )
+        resolved = self._resolve_ids([a[0] for a in assembled])
+        out = []
+        for (name, _s1, _s2), longest, (_r, vfrags), (ids, dbnames) in zip(
+            reads, read_longest, assembled, resolved
+        ):
+            if longest == 0 or not ids:
+                out.append(ClassifyResult(False, 0))
+                continue
+            if len(ids) == 1:
+                lca = ids[0]
+            elif self.tax is not None:
+                lca = self.tax.lca(ids, verbose=cfg.verbose)
+            else:
+                lca = 0
+            out.append(
+                ClassifyResult(
+                    classified=lca > 0, lca=lca, score=longest,
+                    match_ids=ids, match_dbnames=dbnames,
+                    match_fragments=vfrags,
+                )
+            )
+        return out
 
     def classify_batch(self, reads) -> list[tuple[str, ClassifyResult]]:
         return self.collect_batch(self.submit_batch(reads))
@@ -443,8 +608,10 @@ class MemFastPipeline(SaResolveMixin):
             yield self.collect_batch(state)
 
     def collect_batch(self, state) -> list[tuple[str, ClassifyResult]]:
+        if state[0] == "tail":
+            return self._collect_tail(state)
         cfg = self.cfg
-        reads, orders, pending = state
+        _tag, reads, orders, pending = state
         self._finish_maps(pending)
 
         assembled = []

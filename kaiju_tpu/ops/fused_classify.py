@@ -1,0 +1,223 @@
+"""End-to-end fused MEM classification: search + SA resolution + taxid
+mapping + capped id-set semantics + LCA in ONE device program.
+
+The host uploads the flat fragment codes, the per-read pop-order slot
+table, and (once) the taxonomy arrays; it downloads 16 bytes per read.
+Everything the reference classifier does after fragment extraction —
+greedyExact statistics (ConsumerThread.cpp:543-628), SA-position walks
+(bwt.c:105-121), taxon-id enumeration with the max_match_ids cap
+(ConsumerThread.cpp:799-845) and the LCA climb (util.cpp:194-263) —
+happens on device with exact semantics; reads whose enumeration exceeds
+the device budgets are flagged for host fallback (rare).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .fused_mem2 import _mem_stats, _search_phases
+
+FLAG_TIE_OVER = 1  # a contributing fragment had more ties than T
+FLAG_NEED_MORE = 2  # position budget R exhausted before the id cap
+
+
+@partial(jax.jit, static_argnums=(11, 12, 13, 14, 15, 16, 17, 18, 19, 20))
+def fused_mem_classify(
+    rec, C, seed_rec, flat_codes, frag_off, rf_rows,
+    sa_seq, sa_off, seq_tax, parent, depth,
+    K, j0, min_len, M2, Ms, T, R, cap, nseq, chpt_exp,
+):
+    """rf_rows: int32 [B, S] — fragment row per (read, pop-order slot),
+    -1 = pad.  parent/depth: int32 [max_taxid+1]; depth 0 = absent,
+    parent[1] = 1.  cap = max_match_ids.
+
+    Returns packed int32 [B+1, 4]: (lca, score, flags, n_ids) per read;
+    last row = (n2, n_surv, 0, 0) for the capacity retry.
+    """
+    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms)
+    maxl, tie_cnt, tie_j, tie_s0, tie_s1 = _mem_stats(ph, min_len, T)
+    F = ph["F"]
+    B, S = rf_rows.shape
+
+    # ---- per-read longest + contributing slots ------------------------
+    rf = jnp.where(rf_rows >= 0, rf_rows, F)
+    maxl_p = jnp.concatenate([maxl, jnp.zeros(1, jnp.int32)])
+    slot_maxl = maxl_p[rf]  # [B, S]
+    longest = jnp.max(slot_maxl, axis=1)
+    contrib = (rf_rows >= 0) & (slot_maxl == longest[:, None]) & (
+        longest[:, None] > 0
+    )
+
+    # ---- expand tie ranges into the first R positions -----------------
+    zrow = jnp.zeros((1, T), jnp.int32)
+    t_s0 = jnp.concatenate([tie_s0, zrow])[rf]  # [B, S, T]
+    t_s1 = jnp.concatenate([tie_s1, zrow])[rf]
+    t_cnt = jnp.concatenate([tie_cnt, jnp.zeros(1, jnp.int32)])[rf]
+    tie_over = jnp.any(contrib & (t_cnt > T), axis=1)
+    sizes = jnp.where(contrib[:, :, None], t_s1 - t_s0, 0).reshape(B, S * T)
+    csum = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(sizes, axis=1)], axis=1
+    )
+    total = csum[:, -1]
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+    seg = jax.vmap(
+        lambda cs, r: jnp.searchsorted(cs, r, side="right") - 1
+    )(csum, rr).astype(jnp.int32)
+    seg = jnp.clip(seg, 0, S * T - 1)
+    valid_pos = rr < jnp.minimum(total, R)[:, None]
+    # flat 1-D gathers (per-row take_along_axis is a slow lane-crossing
+    # select on TPU)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
+    base = t_s0.reshape(-1)[(brow * (S * T) + seg).reshape(-1)].reshape(B, R)
+    cs_at = csum.reshape(-1)[
+        (brow * (S * T + 1) + seg).reshape(-1)
+    ].reshape(B, R)
+    off = rr - cs_at
+    k0 = jnp.where(valid_pos, base + off, ((nseq >> chpt_exp) + 1) << chpt_exp)
+
+    # ---- SA walk (reference: bwt.c:105-121) ---------------------------
+    check = (1 << chpt_exp) - 1
+    nb1 = rec.shape[0]
+    kf = k0.reshape(-1)
+    N = kf.shape[0]
+
+    def sample(k, steps):
+        idx = (k >> chpt_exp) - ((nseq - 1) >> chpt_exp) - 1
+        idx = jnp.clip(idx, 0, sa_seq.shape[0] - 1)
+        return sa_seq[idx], sa_off[idx] + steps
+
+    steps = jnp.zeros(N, jnp.int32)
+    done = (kf & check) == 0
+    iseq, _pos = sample(kf, steps)
+
+    def cond(st):
+        return jnp.any(~st[2])
+
+    def body(st):
+        k, steps, done, iseq = st
+        b = k >> 7
+        row = rec[jnp.minimum(b, nb1 - 1)]
+        occ_row = row[:, :32]
+        words = row[:, 32:].astype(jnp.uint32)
+        offw = k & 127
+        wlane = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
+        # byte at position off: word off>>2, byte lane off&3 — extracted
+        # with broadcast ops, no lane-crossing select
+        shift = ((offw & 3) * 8).astype(jnp.uint32)
+        c = jnp.sum(
+            jnp.where(
+                wlane == (offw >> 2)[:, None],
+                (words >> shift[:, None]) & 255,
+                0,
+            ),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        # count of c among the first off bytes (word-level thresholds)
+        cnt = jnp.zeros(c.shape, jnp.int32)
+        cu = c.astype(jnp.uint32)[:, None]
+        for t in range(4):
+            byt = (words >> (8 * t)) & 255
+            th = ((offw - t + 3) >> 2)[:, None]
+            cnt = cnt + jnp.sum(
+                (byt == cu) & (wlane < th), axis=1, dtype=jnp.int32
+            )
+        basew = jnp.sum(
+            jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, occ_row.shape, 1)
+                == c[:, None],
+                occ_row,
+                0,
+            ),
+            axis=1,
+        )
+        k_new = C[c] + basew + cnt
+        hit_term = ~done & (c == 0)
+        iseq = jnp.where(hit_term, k_new, iseq)
+        stepping = ~done & ~hit_term
+        k = jnp.where(stepping, k_new, k)
+        steps = jnp.where(stepping, steps + 1, steps)
+        at_chk = stepping & ((k & check) == 0)
+        s_iseq, _sp = sample(k, steps)
+        iseq = jnp.where(at_chk, s_iseq, iseq)
+        done = done | hit_term | at_chk
+        return k, steps, done, iseq
+
+    _, _, _, iseq = jax.lax.while_loop(cond, body, (kf, steps, done, iseq))
+    tax = jnp.where(
+        valid_pos.reshape(-1),
+        seq_tax[jnp.clip(iseq, 0, seq_tax.shape[0] - 1)],
+        -1,
+    ).reshape(B, R)
+
+    # ---- capped unique-id set (reference: ConsumerThread.cpp:799-845) -
+    eq = (tax[:, :, None] == tax[:, None, :]) & valid_pos[:, :, None] & (
+        valid_pos[:, None, :]
+    )
+    earlier = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+        < jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    )
+    uniq = valid_pos & ~jnp.any(eq & earlier[None], axis=2)
+    prior = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - uniq.astype(jnp.int32)
+    included = uniq & (prior <= cap)
+    n_ids = jnp.sum(included, axis=1, dtype=jnp.int32)
+    uniq_at_R = jnp.sum(uniq, axis=1, dtype=jnp.int32)
+    need_more = (total > R) & (uniq_at_R <= cap)
+
+    # ---- LCA (reference: util.cpp:194-263) ----------------------------
+    maxtax = parent.shape[0]
+    tid = jnp.where(included, tax, -1)
+    present = included & (tax >= 0) & (tax < maxtax) & (
+        depth[jnp.clip(tax, 0, maxtax - 1)] > 0
+    )
+    any_present = jnp.any(present, axis=1)
+    # neutral-fill every lane with the read's first present id
+    first_idx = jnp.argmax(present, axis=1)
+    barange = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+    first_id = tid.reshape(-1)[barange * R + first_idx]
+    ids = jnp.where(present, tid, first_id[:, None])
+    ids = jnp.clip(ids, 0, maxtax - 1)
+    d = depth[ids]
+    dmin = jnp.min(jnp.where(present, d, 0x7FFFFFFF), axis=1)
+    dmin = jnp.where(any_present, dmin, 0)
+    lift = d - dmin[:, None]
+    lift = jnp.where(present, lift, 0)
+
+    def lift_cond(st):
+        return jnp.any(st[1] > 0)
+
+    def lift_body(st):
+        ids, lift = st
+        stepping = lift > 0
+        return jnp.where(stepping, parent[ids], ids), lift - stepping
+
+    ids, _ = jax.lax.while_loop(lift_cond, lift_body, (ids, lift))
+
+    def climb_cond(st):
+        return jnp.any(st != st[:, :1])
+
+    def climb_body(st):
+        same = jnp.all(st == st[:, :1], axis=1)
+        return jnp.where(same[:, None], st, parent[st])
+
+    ids = jax.lax.while_loop(climb_cond, climb_body, ids)
+    lca_climb = jnp.where(any_present, ids[:, 0], 0)
+
+    # single-unique-id shortcut returns the id even outside the tree
+    first_uid_idx = jnp.argmax(included, axis=1)
+    first_uid = tax.reshape(-1)[barange * R + first_uid_idx]
+    lca = jnp.where(n_ids == 1, first_uid, lca_climb)
+    lca = jnp.where((longest > 0) & (n_ids > 0), lca, 0)
+
+    flags = tie_over.astype(jnp.int32) * FLAG_TIE_OVER + (
+        need_more.astype(jnp.int32) * FLAG_NEED_MORE
+    )
+    out = jnp.stack([lca, longest, flags, n_ids], axis=1)
+    scal = jnp.zeros((1, 4), jnp.int32)
+    scal = scal.at[0, 0].set(ph["n2"]).at[0, 1].set(ph["nsurv"])
+    return jnp.concatenate([out, scal], axis=0)

@@ -234,13 +234,29 @@ def fused_mem_search2(
     capacities.
     """
     ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms)
+    maxl, tie_cnt, tie_j, tie_s0, tie_s1 = _mem_stats(ph, min_len, T)
+    F = ph["F"]
+    n2, nsurv = ph["n2"], ph["nsurv"]
+
+    # single packed output => ONE device->host fetch on a high-latency
+    # link: [F+1, 2+3T] int32; last row carries (n2, n_surv) in cols 0:2
+    out = jnp.concatenate(
+        [maxl[:, None], tie_cnt[:, None], tie_j, tie_s0, tie_s1], axis=1
+    )
+    scal = jnp.zeros((1, 2 + 3 * T), jnp.int32)
+    scal = scal.at[0, 0].set(n2).at[0, 1].set(nsurv)
+    return jnp.concatenate([out, scal], axis=0)
+
+
+def _mem_stats(ph, min_len, T):
+    """Per-fragment greedyExact statistics from the phase results:
+    (maxl, tie_cnt, tie_j, tie_s0, tie_s1 — ties ascending j, capped T)."""
     F = ph["F"]
     strip_j, strip_valid = ph["strip_j"], ph["strip_valid"]
     s01g, s11g, len1 = ph["s01g"], ph["s11g"], ph["len1"]
     v2, fid2, j2 = ph["v2"], ph["fid2"], ph["j2"]
     s02, s12, len2 = ph["s02"], ph["s12"], ph["len2"]
     jstop, seg_max = ph["jstop"], ph["seg_max"]
-    n2, nsurv = ph["n2"], ph["nsurv"]
 
     elig1 = strip_valid & (strip_j >= jstop[:, None]) & (len1 >= min_len)
     elig2 = v2 & (j2 >= jstop[fid2]) & (len2 >= min_len)
@@ -281,15 +297,7 @@ def fused_mem_search2(
     tie_j = put(j2, strip_j, -1)
     tie_s0 = put(s02, s01g, 0)
     tie_s1 = put(s12, s11g, 0)
-
-    # single packed output => ONE device->host fetch on a high-latency
-    # link: [F+1, 2+3T] int32; last row carries (n2, n_surv) in cols 0:2
-    out = jnp.concatenate(
-        [maxl[:, None], tie_cnt[:, None], tie_j, tie_s0, tie_s1], axis=1
-    )
-    scal = jnp.zeros((1, 2 + 3 * T), jnp.int32)
-    scal = scal.at[0, 0].set(n2).at[0, 1].set(nsurv)
-    return jnp.concatenate([out, scal], axis=0)
+    return maxl, tie_cnt, tie_j, tie_s0, tie_s1
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
