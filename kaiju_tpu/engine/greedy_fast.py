@@ -199,7 +199,7 @@ class GreedyFastPipeline(SaResolveMixin):
             packed = np.asarray(
                 fused_greedy_map(
                     self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-                    K, j0, Lmap, M2, Mout, Ms,
+                    self.dev.rec2, K, j0, Lmap, M2, Mout, Ms,
                 )
             )
             n_rows, n2, n_surv = (int(x) for x in packed[Mout, :3])

@@ -323,7 +323,8 @@ class MemFastPipeline(SaResolveMixin):
         Ms = self._ms
         out = fused_mem_search2(
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-            False, self.seed_K, j0, cfg.min_fragment_length, M2, TIE_CAP, Ms,
+            self.dev.rec2, self.seed_K, j0, cfg.min_fragment_length, M2,
+            TIE_CAP, Ms,
         )
         return (todo, encoded, flat, frag_off, F, P, M2, Ms, out)
 
@@ -352,7 +353,7 @@ class MemFastPipeline(SaResolveMixin):
             self._ms = Ms
             out = fused_mem_search2(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-                False, self.seed_K, j0, cfg.min_fragment_length, M2,
+                self.dev.rec2, self.seed_K, j0, cfg.min_fragment_length, M2,
                 TIE_CAP, Ms,
             )
 
@@ -431,7 +432,7 @@ class MemFastPipeline(SaResolveMixin):
     # ---- entry --------------------------------------------------------
 
     S_SLOTS = 16  # pop-order slots per read in the fused-classify table
-    R_BUDGET = 64  # SA positions resolved on device per read
+    R_BUDGET = 32  # SA positions resolved on device per read
 
     def submit_batch(self, reads):
         """Host fragmenting + async device dispatch for one batch.  The
@@ -471,7 +472,11 @@ class MemFastPipeline(SaResolveMixin):
         frag_off[len(encoded):] = pos
 
         S = self.S_SLOTS
-        rf_rows = np.full((B, S), -1, dtype=np.int32)
+        # pad the read axis to a bucketed shape so ragged final batches
+        # reuse the compiled executable (pad rows classify as U, dropped
+        # in collect)
+        Bp = self._bucket(B, 512)
+        rf_rows = np.full((Bp, S), -1, dtype=np.int32)
         fallback = []
         for r, order in enumerate(orders):
             if len(order) > S:
@@ -485,7 +490,7 @@ class MemFastPipeline(SaResolveMixin):
         out = fused_mem_classify(
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
             rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
-            self._parent, self._depth,
+            self._parent, self._depth, self.dev.rec2,
             self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
             self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
             self.index.chpt_exp, )
@@ -505,7 +510,7 @@ class MemFastPipeline(SaResolveMixin):
         B = len(reads)
         while True:
             packed = np.asarray(out)
-            n2, n_surv = int(packed[B, 0]), int(packed[B, 1])
+            n2, n_surv = int(packed[-1, 0]), int(packed[-1, 1])
             if n2 <= M2 and n_surv <= Ms:
                 break
             P = flat.shape[0]
@@ -516,7 +521,7 @@ class MemFastPipeline(SaResolveMixin):
             out = fused_mem_classify(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
                 rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
-                self._parent, self._depth,
+                self._parent, self._depth, self.dev.rec2,
                 self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
                 self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
                 self.index.chpt_exp,

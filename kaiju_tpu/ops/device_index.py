@@ -59,13 +59,28 @@ class DeviceIndex:
         self.blocks = put(np.asarray(index.bwt).reshape(-1, BLOCK))
         self.occ = put(np.asarray(index.occ, dtype=np.int32))
         self.C = put(np.asarray(index.C, dtype=np.int32))
-        self.rec = put(build_fused_records(index))
+        self._rec_host = build_fused_records(index)
+        self.rec = put(self._rec_host)
         self.sa_seq = put(np.asarray(index.sa_seq, dtype=np.int32))
         self.sa_off = put(np.asarray(index.sa_off, dtype=np.int32))
         self.length = int(index.length)
         self.nseq = int(index.nseq)
         self.chpt_exp = int(index.chpt_exp)
         self.alen = index.alen
+        self._rec2 = None
+        self._device = device
+
+    @property
+    def rec2(self):
+        """Paired fused records (lazy: 2x the rec memory)."""
+        if self._rec2 is None:
+            put = (
+                partial(jax.device_put, device=self._device)
+                if self._device
+                else jax.device_put
+            )
+            self._rec2 = put(build_paired_records(self._rec_host))
+        return self._rec2
 
     @property
     def arrays(self):
@@ -83,19 +98,45 @@ def _unpack_row(row):
     return row[:, :32], bytes_.astype(jnp.int32)
 
 
+def rank_row(row64, C, c, k):
+    """fmindex from an already-gathered fused record row [N, 64].
+
+    Word-level formulation with NO lane-crossing ops: the occ base is an
+    iota-compare multiply-reduce and the in-block count tests packed
+    bytes against per-byte-lane word thresholds (position 4w+t < off
+    iff w < (off-t+3)>>2).  ~2x faster than unpacking the bytes and
+    selecting lanes dynamically.
+    """
+    occ_row = row64[:, :32]
+    words = row64[:, 32:].astype(jnp.uint32)
+    lanes32 = jax.lax.broadcasted_iota(jnp.int32, occ_row.shape, 1)
+    base = jnp.sum(jnp.where(lanes32 == c[:, None], occ_row, 0), axis=1)
+    off = k & (BLOCK - 1)
+    cnt = jnp.zeros(c.shape, jnp.int32)
+    cu = c.astype(jnp.uint32)[:, None]
+    for t in range(4):
+        byt = (words >> (8 * t)) & 255
+        th = ((off - t + 3) >> 2)[:, None]
+        cnt = cnt + jnp.sum(
+            (byt == cu) & (lanes32 < th), axis=1, dtype=jnp.int32
+        )
+    return C[c] + base + cnt
+
+
 def rank_fused(rec, C, c, k):
     """fmindex via one fused-record gather per query."""
     b = k >> 7
     nb1 = rec.shape[0]
     row = rec[jnp.minimum(b, nb1 - 1)]
-    occ_row, bytes_ = _unpack_row(row)
-    base = jnp.take_along_axis(occ_row, c[:, None], axis=1)[:, 0]
-    off = k & (BLOCK - 1)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, bytes_.shape, 1)
-    cnt = jnp.sum(
-        (bytes_ == c[:, None]) & (lanes < off[:, None]), axis=1, dtype=jnp.int32
-    )
-    return C[c] + base + cnt
+    return rank_row(row, C, c, k)
+
+
+def build_paired_records(rec_np: np.ndarray) -> np.ndarray:
+    """rec2[b] = rec[b] ++ rec[b+1]: one 512-byte row gather serves BOTH
+    ends of a narrow SA interval (si1 - si0 <= 128 implies the end block
+    is b or b+1) — the common case after a few extension steps, halving
+    the gather count of the completion loops.  2x index memory."""
+    return np.concatenate([rec_np[:-1], rec_np[1:]], axis=1)
 
 
 @partial(jax.jit, static_argnums=(6,))

@@ -24,10 +24,10 @@ FLAG_TIE_OVER = 1  # a contributing fragment had more ties than T
 FLAG_NEED_MORE = 2  # position budget R exhausted before the id cap
 
 
-@partial(jax.jit, static_argnums=(11, 12, 13, 14, 15, 16, 17, 18, 19, 20))
+@partial(jax.jit, static_argnums=(12, 13, 14, 15, 16, 17, 18, 19, 20, 21))
 def fused_mem_classify(
     rec, C, seed_rec, flat_codes, frag_off, rf_rows,
-    sa_seq, sa_off, seq_tax, parent, depth,
+    sa_seq, sa_off, seq_tax, parent, depth, rec2,
     K, j0, min_len, M2, Ms, T, R, cap, nseq, chpt_exp,
 ):
     """rf_rows: int32 [B, S] — fragment row per (read, pop-order slot),
@@ -37,7 +37,8 @@ def fused_mem_classify(
     Returns packed int32 [B+1, 4]: (lca, score, flags, n_ids) per read;
     last row = (n2, n_surv, 0, 0) for the capacity retry.
     """
-    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms)
+    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
+                        Ms, rec2=rec2)
     maxl, tie_cnt, tie_j, tie_s0, tie_s1 = _mem_stats(ph, min_len, T)
     F = ph["F"]
     B, S = rf_rows.shape

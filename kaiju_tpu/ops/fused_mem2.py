@@ -59,7 +59,57 @@ def _extend(rec, C, flat_codes, base, i, s0, s1, act):
     return i, s0, s1
 
 
-def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms):
+def _extend_paired(rec2, C, flat_codes, base, i, s0, s1, act):
+    """Completion loop with ONE 512-byte paired-row gather per step.
+
+    After the seed + pre-steps every surviving interval is narrow
+    (si1 - si0 <= 128 => end block is b0 or b0+1, both inside the
+    paired row).  A rare wide lane flips that iteration to the
+    two-gather body via lax.cond — correctness never depends on the
+    narrowness assumption."""
+    from .device_index import rank_row
+
+    nb = rec2.shape[0]
+
+    def body(st):
+        i, a0, a1, act = st
+        cpos = jnp.where(act, base + i - 1, 0)
+        c = flat_codes[cpos].astype(jnp.int32)
+        b0 = jnp.minimum(a0 >> 7, nb - 1)
+        wide = act & ((a1 >> 7) > b0 + 1)
+
+        def paired(_):
+            pair = rec2[b0]
+            n0 = rank_row(pair[:, :64], C, c, a0)
+            n1 = jnp.where(
+                (a1 >> 7) == b0,
+                rank_row(pair[:, :64], C, c, a1),
+                rank_row(pair[:, 64:], C, c, a1),
+            )
+            return n0, n1
+
+        def twog(_):
+            r0 = rec2[b0]
+            r1 = rec2[jnp.minimum(a1 >> 7, nb - 1)]
+            n0 = rank_row(r0[:, :64], C, c, a0)
+            n1 = rank_row(r1[:, :64], C, c, a1)
+            return n0, n1
+
+        n0, n1 = jax.lax.cond(jnp.any(wide), twog, paired, None)
+        ok = act & (n0 < n1)
+        a0 = jnp.where(ok, n0, a0)
+        a1 = jnp.where(ok, n1, a1)
+        i = jnp.where(ok, i - 1, i)
+        return i, a0, a1, ok & (i > 0)
+
+    i, s0, s1, _ = jax.lax.while_loop(
+        lambda st: jnp.any(st[3]), body, (i, s0, s1, act)
+    )
+    return i, s0, s1
+
+
+def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms,
+                      rec2=None):
     """Extend lanes: `pre` fixed steps on all lanes (kills the vast
     majority — junk dies within a step or two of the seed), then compact
     the survivors into an [Ms]-lane buffer on device and run the long
@@ -91,7 +141,10 @@ def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms):
     lane = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
     cl = compact(lane, jnp.int32(N))
 
-    ci, c0, c1 = _extend(rec, C, flat_codes, cb, ci, c0, c1, ca)
+    if rec2 is not None:
+        ci, c0, c1 = _extend_paired(rec2, C, flat_codes, cb, ci, c0, c1, ca)
+    else:
+        ci, c0, c1 = _extend(rec, C, flat_codes, cb, ci, c0, c1, ca)
 
     def scat(vals_full, cvals):
         return vals_full.at[jnp.where(ca, cl, N)].set(cvals, mode="drop")
@@ -105,7 +158,8 @@ def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms):
 PRE_STEPS = 6  # extension steps run on all lanes before compaction
 
 
-def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms):
+def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
+                   rec2=None):
     """Shared strip + remainder search over the flat fragment layout.
 
     Returns a dict with the per-lane results of both phases plus the
@@ -158,7 +212,8 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms):
     i1, s01, s11, alive1 = seed(sp, sv)
     base1 = frag_off[fid[sp]]
     i1, s01, s11, nsurv1 = _extend_compacted(
-        rec, C, flat_codes, base1, i1, s01, s11, alive1, PRE_STEPS, Ms
+        rec, C, flat_codes, base1, i1, s01, s11, alive1, PRE_STEPS, Ms,
+        rec2=rec2,
     )
 
     # fragment resolved iff some strip lane reached i <= 1, or the strip
@@ -182,7 +237,8 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms):
     i2, s02, s12, alive2 = seed(pos2, v2)
     base2 = frag_off[fid[pos2]]
     i2, s02, s12, nsurv2 = _extend_compacted(
-        rec, C, flat_codes, base2, i2, s02, s12, alive2, PRE_STEPS, Ms
+        rec, C, flat_codes, base2, i2, s02, s12, alive2, PRE_STEPS, Ms,
+        rec2=rec2,
     )
 
     # ---- per-fragment coordinates of the two evaluated lane sets ------
@@ -216,7 +272,7 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms):
 
 @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
 def fused_mem_search2(
-    rec, C, seed_rec, flat_codes, frag_off, kid_ok, K, j0, min_len, M2, T, Ms
+    rec, C, seed_rec, flat_codes, frag_off, rec2, K, j0, min_len, M2, T, Ms
 ):
     """flat_codes: uint8 [P] concatenated fragment letter codes;
     frag_off: int32 [F+1] (monotone; last = true P; trailing pad fragment
@@ -233,7 +289,8 @@ def fused_mem_search2(
     n_surv > Ms means a capacity overflow: retry with the reported
     capacities.
     """
-    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms)
+    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
+                        Ms, rec2=rec2)
     maxl, tie_cnt, tie_j, tie_s0, tie_s1 = _mem_stats(ph, min_len, T)
     F = ph["F"]
     n2, nsurv = ph["n2"], ph["nsurv"]
@@ -300,9 +357,9 @@ def _mem_stats(ph, min_len, T):
     return maxl, tie_cnt, tie_j, tie_s0, tie_s1
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
 def fused_greedy_map(
-    rec, C, seed_rec, flat_codes, frag_off, K, j0, Lmap, M2, Mout, Ms
+    rec, C, seed_rec, flat_codes, frag_off, rec2, K, j0, Lmap, M2, Mout, Ms
 ):
     """Sparse maxMatches map for the Greedy engine: every evaluated end
     position j with j >= jstop(fragment) and match length >= Lmap, i.e.
@@ -314,7 +371,8 @@ def fused_greedy_map(
     last row = (n_rows, n2, n_surv, 0, 0).  Overflow on any of the three
     counts => retry with larger capacities.
     """
-    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms)
+    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
+                        Ms, rec2=rec2)
     F = ph["F"]
     strip_j, strip_valid = ph["strip_j"], ph["strip_valid"]
     i1g, s01g, s11g, len1 = ph["i1g"], ph["s01g"], ph["s11g"], ph["len1"]
