@@ -113,6 +113,9 @@ class GreedyFastPipeline(SaResolveMixin):
         import jax
 
         self._seed_rec = jax.device_put(self.kmer.packed_seed_rec(self.seed_K))
+        from ..ops.fused_mem2 import pre_steps_for
+
+        self._pre = pre_steps_for(index.length, self.seed_K)
         self._trans = trans_table(index.alphabet)
         self._frag_seg = NativeFragmenter(
             "greedy", config.min_fragment_length, config.min_score,
@@ -199,7 +202,7 @@ class GreedyFastPipeline(SaResolveMixin):
             packed = np.asarray(
                 fused_greedy_map(
                     self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-                    self.dev.rec2, K, j0, Lmap, M2, Mout, Ms,
+                    self.dev.rec2, K, j0, Lmap, M2, Mout, Ms, self._pre,
                 )
             )
             n_rows, n2, n_surv = (int(x) for x in packed[Mout, :3])
@@ -359,9 +362,8 @@ class GreedyFastPipeline(SaResolveMixin):
             act[t] = True
         fi, f0, f1 = (
             np.asarray(x)
-            for x in dev.extend_from(
-                self.dev.blocks, self.dev.occ, self.dev.C,
-                codes, start_i, s0, s1, act,
+            for x in dev.extend_from_rec(
+                self.dev.rec2, self.dev.C, codes, start_i, s0, s1, act,
             )
         )
         for t, k in enumerate(todo):
@@ -379,8 +381,8 @@ class GreedyFastPipeline(SaResolveMixin):
             c[t], s0[t], s1[t] = cc, a, b
         n0, n1, ok = (
             np.asarray(x)
-            for x in dev.probe_updates(
-                self.dev.blocks, self.dev.occ, self.dev.C, c, s0, s1
+            for x in dev.probe_updates_rec(
+                self.dev.rec, self.dev.C, c, s0, s1
             )
         )
         for t, p in enumerate(todo):

@@ -168,6 +168,9 @@ class MemFastPipeline(SaResolveMixin):
         import jax
 
         self._seed_rec = jax.device_put(self.kmer.packed_seed_rec(self.seed_K))
+        from ..ops.fused_mem2 import pre_steps_for
+
+        self._pre = pre_steps_for(index.length, self.seed_K)
         self._m2: dict[int, int] = {}  # phase-2 lane capacity per P bucket
         self._ms = 32768  # survivor-lane capacity of the completion loops
         self._trans = trans_table(index.alphabet)
@@ -324,7 +327,7 @@ class MemFastPipeline(SaResolveMixin):
         out = fused_mem_search2(
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
             self.dev.rec2, self.seed_K, j0, cfg.min_fragment_length, M2,
-            TIE_CAP, Ms,
+            TIE_CAP, Ms, self._pre,
         )
         return (todo, encoded, flat, frag_off, F, P, M2, Ms, out)
 
@@ -354,7 +357,7 @@ class MemFastPipeline(SaResolveMixin):
             out = fused_mem_search2(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
                 self.dev.rec2, self.seed_K, j0, cfg.min_fragment_length, M2,
-                TIE_CAP, Ms,
+                TIE_CAP, Ms, self._pre,
             )
 
         overflow = [fi for fi in range(len(todo)) if tie_cnt[fi] > TIE_CAP]
@@ -493,7 +496,7 @@ class MemFastPipeline(SaResolveMixin):
             self._parent, self._depth, self.dev.rec2,
             self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
             self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
-            self.index.chpt_exp, )
+            self.index.chpt_exp, self._pre, )
         return ("tail", reads, frags, orders, fallback, args, M2, Ms, out)
 
     def _collect_tail(self, state):
@@ -524,7 +527,7 @@ class MemFastPipeline(SaResolveMixin):
                 self._parent, self._depth, self.dev.rec2,
                 self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
                 self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
-                self.index.chpt_exp,
+                self.index.chpt_exp, self._pre,
             )
 
         flagged = set(fallback)

@@ -337,6 +337,28 @@ def probe_updates(blocks, occ, C, c, si0, si1):
     return n0, n1, n0 < n1
 
 
+@jax.jit
+def probe_updates_rec(rec, C, c, si0, si1):
+    """UpdateSI probes via fused-record rank rows."""
+    n0 = rank_fused(rec, C, c, si0)
+    n1 = rank_fused(rec, C, c, si1)
+    return n0, n1, n0 < n1
+
+
+@jax.jit
+def extend_from_rec(rec2, C, codes, start_i, si0, si1, active_in):
+    """maxMatches_withStart resumed extension via paired-record rows
+    (reference: bwt.c:298-336); see extend_from for the contract."""
+    from .fused_mem2 import _extend_paired  # local import: avoid cycle
+
+    N, L = codes.shape
+    flat = codes.reshape(-1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+    base = row * L
+    act = active_in & (start_i > 0)
+    return _extend_paired(rec2, C, flat, base, start_i, si0, si1, act)
+
+
 @partial(jax.jit, static_argnums=(5,))
 def sa_lookup_fused(rec, C, sa_seq, sa_off, nseq, chpt_exp, k0):
     """Batched get_suffix via fused records (one gather per walk step)."""

@@ -24,11 +24,12 @@ FLAG_TIE_OVER = 1  # a contributing fragment had more ties than T
 FLAG_NEED_MORE = 2  # position budget R exhausted before the id cap
 
 
-@partial(jax.jit, static_argnums=(12, 13, 14, 15, 16, 17, 18, 19, 20, 21))
+@partial(jax.jit,
+         static_argnums=(12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22))
 def fused_mem_classify(
     rec, C, seed_rec, flat_codes, frag_off, rf_rows,
     sa_seq, sa_off, seq_tax, parent, depth, rec2,
-    K, j0, min_len, M2, Ms, T, R, cap, nseq, chpt_exp,
+    K, j0, min_len, M2, Ms, T, R, cap, nseq, chpt_exp, pre=6,
 ):
     """rf_rows: int32 [B, S] — fragment row per (read, pop-order slot),
     -1 = pad.  parent/depth: int32 [max_taxid+1]; depth 0 = absent,
@@ -38,7 +39,7 @@ def fused_mem_classify(
     last row = (n2, n_surv, 0, 0) for the capacity retry.
     """
     ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
-                        Ms, rec2=rec2)
+                        Ms, rec2=rec2, pre=pre)
     maxl, tie_cnt, tie_j, tie_s0, tie_s1 = _mem_stats(ph, min_len, T)
     F = ph["F"]
     B, S = rf_rows.shape

@@ -155,11 +155,17 @@ def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms,
     return i, s0, s1, n_surv
 
 
-PRE_STEPS = 6  # extension steps run on all lanes before compaction
+def pre_steps_for(length: int, K: int) -> int:
+    """Extension steps before survivor compaction: enough that a random
+    (junk) lane is almost surely dead — one step past the expected
+    maximal random-match depth log20(len) — minus the K seed steps."""
+    import math
+
+    return max(2, math.ceil(math.log(max(length, 400), 20)) + 2 - K)
 
 
 def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
-                   rec2=None):
+                   rec2=None, pre=6):
     """Shared strip + remainder search over the flat fragment layout.
 
     Returns a dict with the per-lane results of both phases plus the
@@ -212,7 +218,7 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     i1, s01, s11, alive1 = seed(sp, sv)
     base1 = frag_off[fid[sp]]
     i1, s01, s11, nsurv1 = _extend_compacted(
-        rec, C, flat_codes, base1, i1, s01, s11, alive1, PRE_STEPS, Ms,
+        rec, C, flat_codes, base1, i1, s01, s11, alive1, pre, Ms,
         rec2=rec2,
     )
 
@@ -237,7 +243,7 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     i2, s02, s12, alive2 = seed(pos2, v2)
     base2 = frag_off[fid[pos2]]
     i2, s02, s12, nsurv2 = _extend_compacted(
-        rec, C, flat_codes, base2, i2, s02, s12, alive2, PRE_STEPS, Ms,
+        rec, C, flat_codes, base2, i2, s02, s12, alive2, pre, Ms,
         rec2=rec2,
     )
 
@@ -270,9 +276,10 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     )
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_mem_search2(
-    rec, C, seed_rec, flat_codes, frag_off, rec2, K, j0, min_len, M2, T, Ms
+    rec, C, seed_rec, flat_codes, frag_off, rec2, K, j0, min_len, M2, T, Ms,
+    pre=6,
 ):
     """flat_codes: uint8 [P] concatenated fragment letter codes;
     frag_off: int32 [F+1] (monotone; last = true P; trailing pad fragment
@@ -290,7 +297,7 @@ def fused_mem_search2(
     capacities.
     """
     ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
-                        Ms, rec2=rec2)
+                        Ms, rec2=rec2, pre=pre)
     maxl, tie_cnt, tie_j, tie_s0, tie_s1 = _mem_stats(ph, min_len, T)
     F = ph["F"]
     n2, nsurv = ph["n2"], ph["nsurv"]
@@ -357,9 +364,10 @@ def _mem_stats(ph, min_len, T):
     return maxl, tie_cnt, tie_j, tie_s0, tie_s1
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_greedy_map(
-    rec, C, seed_rec, flat_codes, frag_off, rec2, K, j0, Lmap, M2, Mout, Ms
+    rec, C, seed_rec, flat_codes, frag_off, rec2, K, j0, Lmap, M2, Mout, Ms,
+    pre=6,
 ):
     """Sparse maxMatches map for the Greedy engine: every evaluated end
     position j with j >= jstop(fragment) and match length >= Lmap, i.e.
@@ -372,7 +380,7 @@ def fused_greedy_map(
     counts => retry with larger capacities.
     """
     ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
-                        Ms, rec2=rec2)
+                        Ms, rec2=rec2, pre=pre)
     F = ph["F"]
     strip_j, strip_valid = ph["strip_j"], ph["strip_valid"]
     i1g, s01g, s11g, len1 = ph["i1g"], ph["s01g"], ph["s11g"], ph["len1"]
