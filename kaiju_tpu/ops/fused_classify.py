@@ -40,8 +40,104 @@ def fused_mem_classify(
     """
     ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
                         Ms, rec2=rec2, pre=pre)
-    maxl, tie_cnt, tie_j, tie_s0, tie_s1 = _mem_stats(ph, min_len, T)
-    F = ph["F"]
+    stats = _mem_stats(ph, min_len, T)
+
+    def walk_fn(kf):
+        return _sa_walk_local(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf)
+
+    lca, longest, flags, n_ids = classify_tail(
+        stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
+        nseq, chpt_exp,
+    )
+    out = jnp.stack([lca, longest, flags, n_ids], axis=1)
+    scal = jnp.zeros((1, 4), jnp.int32)
+    scal = scal.at[0, 0].set(ph["n2"]).at[0, 1].set(ph["nsurv"])
+    return jnp.concatenate([out, scal], axis=0)
+
+
+def _sa_walk_local(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf):
+    """Batched get_suffix -> content-rank sequence index
+    (reference: bwt.c:105-121); kf: int32 [N] SA positions (positions
+    divisible by 2^chpt_exp resolve immediately — use them as pads)."""
+    check = (1 << chpt_exp) - 1
+    nb1 = rec.shape[0]
+    N = kf.shape[0]
+
+    def sample(k, steps):
+        idx = (k >> chpt_exp) - ((nseq - 1) >> chpt_exp) - 1
+        idx = jnp.clip(idx, 0, sa_seq.shape[0] - 1)
+        return sa_seq[idx], sa_off[idx] + steps
+
+    steps = jnp.zeros(N, jnp.int32)
+    done = (kf & check) == 0
+    iseq, _pos = sample(kf, steps)
+    maxtax = 0  # unused
+    del maxtax
+    state0 = (kf, steps, done, iseq)
+
+    def cond(st):
+        return jnp.any(~st[2])
+
+    def body(st):
+        k, steps, done, iseq = st
+        b = k >> 7
+        row = rec[jnp.minimum(b, nb1 - 1)]
+        occ_row = row[:, :32]
+        words = row[:, 32:].astype(jnp.uint32)
+        offw = k & 127
+        wlane = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
+        shift = ((offw & 3) * 8).astype(jnp.uint32)
+        c = jnp.sum(
+            jnp.where(
+                wlane == (offw >> 2)[:, None],
+                (words >> shift[:, None]) & 255,
+                0,
+            ),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        cnt = jnp.zeros(c.shape, jnp.int32)
+        cu = c.astype(jnp.uint32)[:, None]
+        for t in range(4):
+            byt = (words >> (8 * t)) & 255
+            th = ((offw - t + 3) >> 2)[:, None]
+            cnt = cnt + jnp.sum(
+                (byt == cu) & (wlane < th), axis=1, dtype=jnp.int32
+            )
+        basew = jnp.sum(
+            jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, occ_row.shape, 1)
+                == c[:, None],
+                occ_row,
+                0,
+            ),
+            axis=1,
+        )
+        k_new = C[c] + basew + cnt
+        hit_term = ~done & (c == 0)
+        iseq = jnp.where(hit_term, k_new, iseq)
+        stepping = ~done & ~hit_term
+        k = jnp.where(stepping, k_new, k)
+        steps = jnp.where(stepping, steps + 1, steps)
+        at_chk = stepping & ((k & check) == 0)
+        s_iseq, _sp = sample(k, steps)
+        iseq = jnp.where(at_chk, s_iseq, iseq)
+        done = done | hit_term | at_chk
+        return k, steps, done, iseq
+
+    _, _, _, iseq = jax.lax.while_loop(cond, body, state0)
+    return iseq
+
+
+def classify_tail(stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
+                  nseq, chpt_exp, any_fn=None):
+    """Per-read classification from per-fragment MEM statistics: longest
+    reduction, tie-range expansion, SA walks (via walk_fn), capped
+    unique-id semantics and LCA.  Returns (lca, longest, flags, n_ids),
+    each int32 [B]."""
+    anyf = any_fn or jnp.any
+    maxl, tie_cnt, tie_j, tie_s0, tie_s1 = stats
+    F = maxl.shape[0]
     B, S = rf_rows.shape
 
     # ---- per-read longest + contributing slots ------------------------
@@ -80,21 +176,7 @@ def fused_mem_classify(
     ].reshape(B, R)
     off = rr - cs_at
     k0 = jnp.where(valid_pos, base + off, ((nseq >> chpt_exp) + 1) << chpt_exp)
-
-    # ---- SA walk (reference: bwt.c:105-121) ---------------------------
-    check = (1 << chpt_exp) - 1
-    nb1 = rec.shape[0]
-    kf = k0.reshape(-1)
-    N = kf.shape[0]
-
-    def sample(k, steps):
-        idx = (k >> chpt_exp) - ((nseq - 1) >> chpt_exp) - 1
-        idx = jnp.clip(idx, 0, sa_seq.shape[0] - 1)
-        return sa_seq[idx], sa_off[idx] + steps
-
-    steps = jnp.zeros(N, jnp.int32)
-    done = (kf & check) == 0
-    iseq, _pos = sample(kf, steps)
+    iseq = walk_fn(k0.reshape(-1))
 
     def cond(st):
         return jnp.any(~st[2])
@@ -149,7 +231,6 @@ def fused_mem_classify(
         done = done | hit_term | at_chk
         return k, steps, done, iseq
 
-    _, _, _, iseq = jax.lax.while_loop(cond, body, (kf, steps, done, iseq))
     tax = jnp.where(
         valid_pos.reshape(-1),
         seq_tax[jnp.clip(iseq, 0, seq_tax.shape[0] - 1)],
@@ -191,7 +272,7 @@ def fused_mem_classify(
     lift = jnp.where(present, lift, 0)
 
     def lift_cond(st):
-        return jnp.any(st[1] > 0)
+        return anyf(st[1] > 0)
 
     def lift_body(st):
         ids, lift = st
@@ -201,7 +282,7 @@ def fused_mem_classify(
     ids, _ = jax.lax.while_loop(lift_cond, lift_body, (ids, lift))
 
     def climb_cond(st):
-        return jnp.any(st != st[:, :1])
+        return anyf(st != st[:, :1])
 
     def climb_body(st):
         same = jnp.all(st == st[:, :1], axis=1)
@@ -219,7 +300,4 @@ def fused_mem_classify(
     flags = tie_over.astype(jnp.int32) * FLAG_TIE_OVER + (
         need_more.astype(jnp.int32) * FLAG_NEED_MORE
     )
-    out = jnp.stack([lca, longest, flags, n_ids], axis=1)
-    scal = jnp.zeros((1, 4), jnp.int32)
-    scal = scal.at[0, 0].set(ph["n2"]).at[0, 1].set(ph["nsurv"])
-    return jnp.concatenate([out, scal], axis=0)
+    return lca, longest, flags, n_ids

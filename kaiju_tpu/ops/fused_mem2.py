@@ -36,12 +36,15 @@ NLET = 20
 STRIP_W = 8
 
 
-def _step(rec, C, flat_codes, base, st):
+def _step(rec, C, flat_codes, base, st, rank_pair=None):
     i, a0, a1, act = st
     cpos = jnp.where(act, base + i - 1, 0)
     c = flat_codes[cpos].astype(jnp.int32)
-    n0 = rank_fused(rec, C, c, a0)
-    n1 = rank_fused(rec, C, c, a1)
+    if rank_pair is not None:
+        n0, n1 = rank_pair(c, a0, a1)
+    else:
+        n0 = rank_fused(rec, C, c, a0)
+        n1 = rank_fused(rec, C, c, a1)
     ok = act & (n0 < n1)
     a0 = jnp.where(ok, n0, a0)
     a1 = jnp.where(ok, n1, a1)
@@ -49,11 +52,13 @@ def _step(rec, C, flat_codes, base, st):
     return i, a0, a1, ok & (i > 0)
 
 
-def _extend(rec, C, flat_codes, base, i, s0, s1, act):
+def _extend(rec, C, flat_codes, base, i, s0, s1, act, rank_pair=None,
+            any_fn=None):
     """Backward-extend lanes to completion (masked while_loop)."""
+    anyf = any_fn or jnp.any
     i, s0, s1, _ = jax.lax.while_loop(
-        lambda st: jnp.any(st[3]),
-        lambda st: _step(rec, C, flat_codes, base, st),
+        lambda st: anyf(st[3]),
+        lambda st: _step(rec, C, flat_codes, base, st, rank_pair),
         (i, s0, s1, act),
     )
     return i, s0, s1
@@ -109,7 +114,7 @@ def _extend_paired(rec2, C, flat_codes, base, i, s0, s1, act):
 
 
 def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms,
-                      rec2=None):
+                      rec2=None, rank_pair=None, any_fn=None):
     """Extend lanes: `pre` fixed steps on all lanes (kills the vast
     majority — junk dies within a step or two of the seed), then compact
     the survivors into an [Ms]-lane buffer on device and run the long
@@ -122,7 +127,7 @@ def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms,
     N = base.shape[0]
     st = (i, s0, s1, act)
     for _ in range(pre):
-        st = _step(rec, C, flat_codes, base, st)
+        st = _step(rec, C, flat_codes, base, st, rank_pair)
     i, s0, s1, act = st
 
     n_surv = jnp.sum(act, dtype=jnp.int32)
@@ -141,7 +146,10 @@ def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms,
     lane = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
     cl = compact(lane, jnp.int32(N))
 
-    if rec2 is not None:
+    if rank_pair is not None:
+        ci, c0, c1 = _extend(rec, C, flat_codes, cb, ci, c0, c1, ca,
+                             rank_pair, any_fn)
+    elif rec2 is not None:
         ci, c0, c1 = _extend_paired(rec2, C, flat_codes, cb, ci, c0, c1, ca)
     else:
         ci, c0, c1 = _extend(rec, C, flat_codes, cb, ci, c0, c1, ca)
@@ -165,7 +173,7 @@ def pre_steps_for(length: int, K: int) -> int:
 
 
 def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
-                   rec2=None, pre=6):
+                   rec2=None, pre=6, rank_pair=None, any_fn=None):
     """Shared strip + remainder search over the flat fragment layout.
 
     Returns a dict with the per-lane results of both phases plus the
@@ -219,7 +227,7 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     base1 = frag_off[fid[sp]]
     i1, s01, s11, nsurv1 = _extend_compacted(
         rec, C, flat_codes, base1, i1, s01, s11, alive1, pre, Ms,
-        rec2=rec2,
+        rec2=rec2, rank_pair=rank_pair, any_fn=any_fn,
     )
 
     # fragment resolved iff some strip lane reached i <= 1, or the strip
@@ -244,7 +252,7 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     base2 = frag_off[fid[pos2]]
     i2, s02, s12, nsurv2 = _extend_compacted(
         rec, C, flat_codes, base2, i2, s02, s12, alive2, pre, Ms,
-        rec2=rec2,
+        rec2=rec2, rank_pair=rank_pair, any_fn=any_fn,
     )
 
     # ---- per-fragment coordinates of the two evaluated lane sets ------

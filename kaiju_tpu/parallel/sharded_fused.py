@@ -1,0 +1,246 @@
+"""Sharded fused MEM classification over a (data x index) device mesh.
+
+The full single-call classification program (seed + strip-phased
+extension + statistics + SA walks + capped id sets + LCA; see
+kaiju_tpu.ops.fused_classify) under jax.shard_map:
+
+  * "data" axis: each device group gets its own read sub-batch (flat
+    fragment codes + pop-order slot table), embarrassingly parallel.
+  * "index" axis: BWT blocks / occ checkpoints / SA samples are
+    partitioned into contiguous position ranges.  Every rank query and
+    every SA-walk step is owner-computed — the owning shard contributes
+    its local checkpoint+count, all others contribute zero — and a psum
+    over the index axis assembles the value, riding the ICI.
+
+While-loop conditions are psum'd so all index shards iterate in
+lockstep.  The k-mer seed table, C array, and taxonomy arrays are small
+and replicated.  This is how databases larger than one chip's HBM
+(refseq_ref = 54 GB) run: aggregate HBM holds the index once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.core import BLOCK
+from ..ops.fused_classify import classify_tail
+from ..ops.fused_mem2 import _mem_stats, _search_phases
+from .sharded_index import ShardedIndexArrays
+
+
+def _any_psum(x):
+    return jax.lax.psum(jnp.sum(x.astype(jnp.int32)), "index") > 0
+
+
+def make_sharded_mem_classify(
+    mesh: Mesh,
+    sh: ShardedIndexArrays,
+    *,
+    K: int,
+    j0: int,
+    min_len: int,
+    M2: int,
+    Ms: int,
+    T: int,
+    R: int,
+    cap: int,
+    pre: int,
+):
+    """Builds the jitted sharded classify step.
+
+    Per-data-shard inputs (leading axis = n_data):
+      flat_codes uint8 [D, P], frag_off int32 [D, F+1],
+      rf_rows int32 [D, B, S]
+    Index-shard inputs from ShardedIndexArrays; seed_rec / seq_tax /
+    parent / depth replicated.  Returns int32 [D, B, 4].
+    """
+    nb_s = sh.nb_s
+    ns_s = sh.ns_s
+    nseq = sh.nseq
+    chpt_exp = sh.chpt_exp
+
+    def per_device(
+        blocks_s, occ_s, shard_base, C, sa_seq_s, sa_off_s,
+        seed_rec, seq_tax, parent, depth,
+        flat_codes, frag_off, rf_rows,
+    ):
+        blocks_s = blocks_s[0]
+        occ_s = occ_s[0]
+        sa_seq_s = sa_seq_s[0]
+        sa_off_s = sa_off_s[0]
+        flat_codes = flat_codes[0]
+        frag_off = frag_off[0]
+        rf_rows = rf_rows[0]
+        S_ = jax.lax.axis_size("index")
+        my = jax.lax.axis_index("index")
+
+        def rank1(c, k):
+            b = k >> 7
+            owner = jnp.minimum(b // nb_s, S_ - 1)
+            mine = owner == my
+            lb = jnp.clip(b - my * nb_s, 0, nb_s - 1)
+            row = blocks_s[lb]
+            off = k & (BLOCK - 1)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+            cnt = jnp.sum(
+                (row == c[:, None].astype(row.dtype)) & (lanes < off[:, None]),
+                axis=1, dtype=jnp.int32,
+            )
+            local = jnp.where(mine, occ_s[lb, c] + cnt, 0)
+            total = jax.lax.psum(local, "index")
+            return C[c] + shard_base[owner, c] + total
+
+        def rank_pair(c, a0, a1):
+            return rank1(c, a0), rank1(c, a1)
+
+        ph = _search_phases(
+            None, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
+            rec2=None, pre=pre, rank_pair=rank_pair, any_fn=_any_psum,
+        )
+        stats = _mem_stats(ph, min_len, T)
+
+        check = (1 << chpt_exp) - 1
+
+        def walk_fn(kf):
+            N = kf.shape[0]
+
+            def sample(k, steps):
+                idx = (k >> chpt_exp) - ((nseq - 1) >> chpt_exp) - 1
+                idx = jnp.clip(idx, 0, S_ * ns_s - 1)
+                owner = jnp.minimum(idx // ns_s, S_ - 1)
+                li = jnp.clip(idx - my * ns_s, 0, ns_s - 1)
+                mine = owner == my
+                iseq = jax.lax.psum(
+                    jnp.where(mine, sa_seq_s[li], 0), "index"
+                )
+                pos = jax.lax.psum(
+                    jnp.where(mine, sa_off_s[li], 0), "index"
+                )
+                return iseq, pos + steps
+
+            steps = jnp.zeros(N, jnp.int32)
+            done = (kf & check) == 0
+            iseq, _pos = sample(kf, steps)
+
+            def body(st):
+                k, steps, done, iseq = st
+                b = k >> 7
+                owner = jnp.minimum(b // nb_s, S_ - 1)
+                mine = owner == my
+                lb = jnp.clip(b - my * nb_s, 0, nb_s - 1)
+                row = blocks_s[lb]
+                off = k & (BLOCK - 1)
+                lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+                cb = jnp.sum(
+                    jnp.where(
+                        mine[:, None] & (lanes == off[:, None]),
+                        row.astype(jnp.int32), 0,
+                    ),
+                    axis=1,
+                )
+                c = jax.lax.psum(cb, "index")
+                cnt = jnp.sum(
+                    (row == c[:, None].astype(row.dtype))
+                    & (lanes < off[:, None]),
+                    axis=1, dtype=jnp.int32,
+                )
+                local = jnp.where(mine, occ_s[lb, c] + cnt, 0)
+                k_new = C[c] + shard_base[owner, c] + jax.lax.psum(
+                    local, "index"
+                )
+                hit_term = ~done & (c == 0)
+                iseq = jnp.where(hit_term, k_new, iseq)
+                stepping = ~done & ~hit_term
+                k = jnp.where(stepping, k_new, k)
+                steps = jnp.where(stepping, steps + 1, steps)
+                at_chk = stepping & ((k & check) == 0)
+                s_iseq, _sp = sample(k, steps)
+                iseq = jnp.where(at_chk, s_iseq, iseq)
+                done = done | hit_term | at_chk
+                return k, steps, done, iseq
+
+            _, _, _, iseq = jax.lax.while_loop(
+                lambda st: _any_psum(~st[2]), body,
+                (kf, steps, done, iseq),
+            )
+            return iseq
+
+        lca, longest, flags, n_ids = classify_tail(
+            stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
+            nseq, chpt_exp, any_fn=_any_psum,
+        )
+        out = jnp.stack([lca, longest, flags, n_ids], axis=1)
+        return out[None]
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P("index"), P("index"), None, None,   # blocks, occ, base, C
+            P("index"), P("index"),               # SA samples
+            None, None, None, None,               # seed/tax tables
+            P("data"), P("data"), P("data"),      # per-data-shard queries
+        ),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedMemClassifier:
+    """Convenience driver: shards an index + taxonomy over a mesh and
+    classifies read batches with the fused sharded step."""
+
+    def __init__(self, index, taxonomy, config, mesh: Mesh, n_index: int):
+        from ..engine.mem_fast import SEED_K, TIE_CAP
+        from ..ops.fused_mem2 import pre_steps_for
+        from ..ops.kmer import KmerTables
+
+        self.cfg = config
+        self.index = index
+        self.mesh = mesh
+        self.n_data = mesh.shape["data"]
+        self.sh = ShardedIndexArrays(index, n_index)
+        K = min(SEED_K, config.min_fragment_length)
+        self.kmer = KmerTables.load_or_build(index, None, K=K)
+        self.seed_K = min(K, self.kmer.K)
+        self._seed_rec = self.kmer.packed_seed_rec(self.seed_K)
+        par, dep = taxonomy.dense_arrays()
+        self._parent = par
+        self._depth = dep
+        self._seq_tax = np.asarray(index.seq_taxids, dtype=np.int32)
+        self.T = TIE_CAP
+        self.R = 32
+        self.S = 16
+        self._fn = make_sharded_mem_classify(
+            mesh, self.sh,
+            K=self.seed_K, j0=config.min_fragment_length - 1,
+            min_len=config.min_fragment_length,
+            M2=65536, Ms=16384, T=self.T, R=self.R,
+            cap=config.max_match_ids,
+            pre=pre_steps_for(index.length, self.seed_K),
+        )
+
+    def classify(self, per_shard_batches):
+        """per_shard_batches: list of n_data (flat, frag_off, rf_rows)."""
+        D = self.n_data
+        flat = np.stack([b[0] for b in per_shard_batches])
+        off = np.stack([b[1] for b in per_shard_batches])
+        rf = np.stack([b[2] for b in per_shard_batches])
+
+        def put(arr, spec):
+            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+        sh = self.sh
+        out = self._fn(
+            put(sh.blocks_sh, P("index")), put(sh.occ_local, P("index")),
+            put(sh.shard_base, P()), put(sh.C, P()),
+            put(sh.sa_seq_sh, P("index")), put(sh.sa_off_sh, P("index")),
+            put(self._seed_rec, P()), put(self._seq_tax, P()),
+            put(self._parent, P()), put(self._depth, P()),
+            put(flat, P("data")), put(off, P("data")), put(rf, P("data")),
+        )
+        return np.asarray(out)

@@ -81,3 +81,71 @@ def test_sharded_sa_lookup(env):
     for n, k in enumerate(ks):
         wi, wp = idx.get_suffix(int(k))
         assert (iseq[n], pos[n]) == (wi, wp), k
+
+
+def test_sharded_fused_classify(env):
+    """The fully-fused sharded classify step must agree with the
+    single-device MemFastPipeline on (lca, score) per read."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng, records, idx = env
+    from kaiju_tpu.engine.config import KaijuConfig
+    from kaiju_tpu.engine.fragments_native import NativeFragmenter
+    from kaiju_tpu.engine.mem_fast import MemFastPipeline
+    from kaiju_tpu.index.alphabet import trans_table
+    from kaiju_tpu.io.taxonomy import Taxonomy
+    from kaiju_tpu.parallel.sharded_fused import ShardedMemClassifier
+    from kaiju_tpu.parallel.sharded_index import make_mesh
+
+    from readgen import make_reads
+
+    nodes = {1: 1, 10: 1, 100: 10, 200: 10, 300: 10,
+             101: 100, 102: 100, 103: 100, 201: 200, 202: 200, 301: 300}
+    tax = Taxonomy(nodes)
+    cfg = KaijuConfig(mode="mem", seg=True, use_Evalue=False)
+    reads = [(n, s, None) for n, s in make_reads(rng, records, n=64)]
+
+    pipe = MemFastPipeline(idx, tax, cfg)
+    want = dict(pipe.classify_batch(reads))
+
+    mesh = make_mesh(n_index_shards=2)
+    n_data = 4
+    cls = ShardedMemClassifier(idx, tax, cfg, mesh, n_index=2)
+    frag = NativeFragmenter("mem", cfg.min_fragment_length, cfg.min_score,
+                            cfg.seg, False)
+    trans = trans_table(idx.alphabet)
+    per = len(reads) // n_data
+    shards = []
+    flat_cap, F_cap = 4096, 256
+    for d in range(n_data):
+        sub = reads[d * per : (d + 1) * per]
+        frags, orders = frag.run(sub)
+        flat = np.zeros(flat_cap, np.uint8)
+        off = np.zeros(F_cap + 1, np.int32)
+        pos = 0
+        for fi, f in enumerate(frags):
+            e = trans[np.frombuffer(f.encode(), np.uint8)]
+            off[fi] = pos
+            flat[pos : pos + len(e)] = e
+            pos += len(e)
+        off[len(frags):] = pos
+        rf = np.full((per, cls.S), -1, np.int32)
+        for r, o in enumerate(orders):
+            rf[r, : len(o)] = o[: cls.S]
+        shards.append((flat, off, rf))
+    out = cls.classify(shards)
+
+    for d in range(n_data):
+        for r in range(per):
+            name = reads[d * per + r][0]
+            lca, score, flags, n_ids = (int(x) for x in out[d, r])
+            res = want[name]
+            if res.classified:
+                assert lca == res.lca and score == res.score, (
+                    f"{name}: sharded ({lca},{score}) != "
+                    f"({res.lca},{res.score})"
+                )
+            else:
+                assert score == 0 or n_ids == 0, name
