@@ -141,11 +141,38 @@ class GreedyFastPipeline(SaResolveMixin):
         self._diag_by_byte[
             np.setdiff1d(np.arange(256), [ord(a) for a in AA_TO_INT])
         ] = int(BLOSUM62_DIAG[AA_TO_INT["A"]])
+        # vectorized-planning tables, indexed [aa_idx, sub_slot 0..18] in
+        # the reference's descending-score substitution order
+        self._submat = np.zeros((20, 19), dtype=np.int64)   # B62[orig, sub]
+        self._subdiag = np.zeros((20, 19), dtype=np.int64)  # diag[sub]
+        self._subcode = np.zeros((20, 19), dtype=np.int32)  # index-alphabet code
+        self._subchar = np.zeros((20, 19), dtype=np.uint8)  # ASCII
+        for aa, oi in AA_TO_INT.items():
+            for s, sub in enumerate(BLOSUM_SUBST[aa]):
+                bi = AA_TO_INT[sub]
+                self._submat[oi, s] = int(BLOSUM62[oi, bi])
+                self._subdiag[oi, s] = int(BLOSUM62_DIAG[bi])
+                self._subcode[oi, s] = int(self._trans[ord(sub)])
+                self._subchar[oi, s] = ord(sub)
+        self._diag20 = np.asarray(BLOSUM62_DIAG, dtype=np.int64)
+        # index-alphabet code -> AA scoring index / diag value
+        alpha = index.alphabet
+        self._aaidx_by_code = np.zeros(max(32, len(alpha)), dtype=np.int32)
+        self._diag_by_code = np.zeros(max(32, len(alpha)), dtype=np.int64)
+        for code, ch in enumerate(alpha):
+            i = AA_TO_INT.get(ch, 0)
+            self._aaidx_by_code[code] = i
+            self._diag_by_code[code] = int(BLOSUM62_DIAG[i])
         # cross-batch caches
         self._frag_ids: dict[str, int] = {}
         self._frags: list[str] = []
         self._gmaps: list = []  # uid -> (j desc, i, s0, s1) arrays
         self._mm_cache: list = []  # uid -> maxMatches SI list (or False)
+        self._enc_np: list = []  # uid -> encoded codes (np.uint8)
+        self._pref_np: list = []  # uid -> diag prefix sums (int64, len+1)
+        self._nodes: list = []  # uid -> dict of inserted-node arrays
+        self._uid_best: list = []  # uid -> max eval score of num_mm=0 nodes
+        self._uvars: list = []  # uid -> dict of round-1 variant arrays
         self._ext_cache: dict[tuple, tuple] = {}
         self._probe_cache: dict[tuple, Optional[tuple]] = {}
         self._m2: dict[int, int] = {}
@@ -168,6 +195,11 @@ class GreedyFastPipeline(SaResolveMixin):
             self._frags.append(frag)
             self._gmaps.append(None)
             self._mm_cache.append(None)
+            self._enc_np.append(None)
+            self._pref_np.append(None)
+            self._nodes.append(None)
+            self._uid_best.append(0)
+            self._uvars.append(None)
         return uid
 
     # ---- level-0 sparse maps -----------------------------------------
@@ -223,6 +255,174 @@ class GreedyFastPipeline(SaResolveMixin):
         for fi, u in enumerate(todo):
             r = rows[bounds[fi] : bounds[fi + 1]]
             self._gmaps[u] = (r[:, 1], r[:, 2], r[:, 3], r[:, 4])
+        self._build_node_caches(todo, encoded, rows, bounds)
+
+    def _build_node_caches(self, todo, encoded, rows, bounds):
+        """Vectorized per-fragment node set (the inserted maxMatches
+        candidates: i < the exclusive running minimum of earlier i while
+        scanning j descending — exactly bwt.c:261-296's `cur` containment
+        rule) plus the fragment's num_mm=0 eval maximum and the full
+        round-1 substitution-variant arrays at the min_score bound.
+
+        Everything is computed in ONE pass over the concatenated row
+        arrays (segmented Hillis-Steele scan for the running minimum);
+        per-uid caches are views into the global arrays."""
+        cfg = self.cfg
+        BIG = np.int64(1 << 60)
+        flen = np.zeros(len(todo), np.int64)
+        for fi, u in enumerate(todo):
+            enc = encoded[fi]
+            self._enc_np[u] = enc
+            pref = np.zeros(len(enc) + 1, dtype=np.int64)
+            np.cumsum(self._diag_by_code[enc], out=pref[1:])
+            self._pref_np[u] = pref
+            flen[fi] = len(enc)
+
+        nrows = len(rows)
+        if nrows == 0:
+            for u in todo:
+                self._nodes[u] = None
+                self._uid_best[u] = 0
+                self._uvars[u] = None
+            return
+        fidc = rows[:, 0].astype(np.int64)
+        j = rows[:, 1].astype(np.int64)
+        i_arr = rows[:, 2].astype(np.int64)
+
+        # segmented inclusive prefix-min of i, then shift by one row
+        incl = i_arr.copy()
+        off = 1
+        while off < nrows:
+            shifted = np.empty(nrows, np.int64)
+            shifted[off:] = incl[:-off]
+            shifted[:off] = BIG
+            same = np.empty(nrows, bool)
+            same[off:] = fidc[off:] == fidc[:-off]
+            same[:off] = False
+            np.minimum(incl, np.where(same, shifted, BIG), out=incl)
+            off <<= 1
+        excl = np.empty(nrows, np.int64)
+        excl[1:] = incl[:-1]
+        excl[0] = BIG
+        first = np.empty(nrows, bool)
+        first[0] = True
+        first[1:] = fidc[1:] != fidc[:-1]
+        excl[first] = BIG
+        ins = i_arr < excl
+
+        qi = i_arr[ins]
+        ql = j[ins] - qi + 1
+        s0 = rows[:, 3][ins].astype(np.int64)
+        s1 = rows[:, 4][ins].astype(np.int64)
+        nf = fidc[ins]
+        # per-row gathers from the per-uid prefix sums via a flat table
+        poff = np.zeros(len(todo) + 1, np.int64)
+        np.cumsum(flen + 1, out=poff[1:])
+        pref_flat = np.concatenate([self._pref_np[u] for u in todo])
+        enc_flat = np.concatenate([encoded[fi] for fi in range(len(todo))]) \
+            if len(todo) else np.zeros(0, np.uint8)
+        eoff = np.zeros(len(todo) + 1, np.int64)
+        np.cumsum(flen, out=eoff[1:])
+
+        evald = pref_flat[poff[nf] + qi + ql] - pref_flat[poff[nf] + qi]
+        effL = np.minimum(qi + ql, flen[nf])
+        origi = np.where(
+            qi > 0,
+            self._aaidx_by_code[enc_flat[eoff[nf] + np.maximum(qi - 1, 0)]],
+            -1,
+        )
+
+        nbounds = np.searchsorted(nf, np.arange(len(todo) + 1))
+        # num_mm=0 eval maximum per fragment
+        scv = np.where(
+            (ql >= cfg.min_fragment_length), np.clip(evald, 0, None), -1
+        )
+        scv = np.where(scv >= cfg.min_score, scv, 0)
+        ubest = np.zeros(len(todo), np.int64)
+        np.maximum.at(ubest, nf, scv)
+
+        # the reference enumerates substitutions only over
+        # walk_group_heads' node set: length groups in descending order up
+        # to AND INCLUDING the first group with more than one member
+        # (reference: ConsumerThread.cpp:477's samelen-else-next walk over
+        # the insert_si_sorted structure) — planning a superset would
+        # create candidates outside the reference's search space whose
+        # scores can exceed the true final best
+        gorder = np.lexsort((-ql, nf))
+        gf, gq = nf[gorder], ql[gorder]
+        new_grp = np.empty(len(gorder), bool)
+        new_grp[0] = True
+        new_grp[1:] = (gf[1:] != gf[:-1]) | (gq[1:] != gq[:-1])
+        grp_id = np.cumsum(new_grp) - 1
+        grp_sz = np.bincount(grp_id)
+        # group index within its fragment
+        frag_first = np.empty(len(gorder), bool)
+        frag_first[0] = True
+        frag_first[1:] = gf[1:] != gf[:-1]
+        gi_abs = np.arange(len(gorder))
+        frag_base = np.maximum.accumulate(np.where(frag_first, gi_abs, 0))
+        grp_base = np.maximum.accumulate(np.where(new_grp, gi_abs, 0))
+        grp_in_frag = grp_id - grp_id[frag_base]
+        multi = grp_sz[grp_id] > 1
+        # first multi group index per fragment (inf when none)
+        first_multi = np.full(len(todo), 1 << 30, np.int64)
+        np.minimum.at(
+            first_multi, gf[multi], grp_in_frag[multi]
+        )
+        planned_sorted = grp_in_frag <= first_multi[gf]
+        planned = np.empty(len(gorder), bool)
+        planned[gorder] = planned_sorted
+
+        # round-1 variants at the global min_score bound
+        el = planned & (origi >= 0) & (qi + ql >= cfg.min_fragment_length)
+        ei = np.flatnonzero(el)
+        if len(ei) and cfg.mismatches > 0:
+            nori = origi[ei]
+            base = (
+                np.clip(pref_flat[poff[nf[ei]] + effL[ei]], 0, None)
+                - self._diag20[nori]
+            )
+            sa = base[:, None] + self._submat[nori]
+            keep = sa >= cfg.min_score
+            mi, si = np.nonzero(keep)
+            vf = nf[ei[mi]]
+            vars_all = dict(
+                key=sa[mi, si],
+                code=self._subcode[nori[mi], si].astype(np.int64),
+                ps0=s0[ei[mi]], ps1=s1[ei[mi]],
+                pos=qi[ei[mi]] - 1,
+                diffc=self._submat[nori[mi], si]
+                - self._subdiag[nori[mi], si],
+                delta=self._subdiag[nori[mi], si] - self._diag20[nori[mi]],
+                matchlen=ql[ei[mi]] + 1,
+                effL=effL[ei[mi]],
+                subch=self._subchar[nori[mi], si],
+            )
+            vorder = np.argsort(vf, kind="stable")
+            vf = vf[vorder]
+            vars_all = {c: v[vorder] for c, v in vars_all.items()}
+            vbounds = np.searchsorted(vf, np.arange(len(todo) + 1))
+        else:
+            vars_all = None
+            vbounds = None
+
+        for fi, u in enumerate(todo):
+            lo, hi = nbounds[fi], nbounds[fi + 1]
+            if lo == hi:
+                self._nodes[u] = None
+                self._uid_best[u] = 0
+                self._uvars[u] = None
+                continue
+            self._nodes[u] = dict(
+                qi=qi[lo:hi], ql=ql[lo:hi], s0=s0[lo:hi], s1=s1[lo:hi],
+                evald=evald[lo:hi], effL=effL[lo:hi], origi=origi[lo:hi],
+            )
+            self._uid_best[u] = int(ubest[fi])
+            if vars_all is None or vbounds[fi] == vbounds[fi + 1]:
+                self._uvars[u] = None
+            else:
+                a, b = vbounds[fi], vbounds[fi + 1]
+                self._uvars[u] = {c: v[a:b] for c, v in vars_all.items()}
 
     def _max_matches(self, uid: int) -> Optional[SI]:
         """maxMatches(frag, seed_length, 0) from the sparse map, cached
@@ -403,85 +603,295 @@ class GreedyFastPipeline(SaResolveMixin):
 
     # ---- co-simulation ------------------------------------------------
 
-    def _simulate(self, orders, keys_of):
-        """Compute per-read best_final, filling the extend/probe caches.
+    def _probe_batch(self, code, ps0, ps1):
+        """Unique-probe device round: returns (n0, n1, ok) per input row."""
+        keys = np.stack([code.astype(np.int64), ps0, ps1], axis=1)
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        m = len(uniq)
+        Nb = self._bucket(m, 1024)
+        c = np.zeros(Nb, np.int32)
+        a = np.zeros(Nb, np.int32)
+        b = np.zeros(Nb, np.int32)
+        c[:m] = uniq[:, 0]
+        a[:m] = uniq[:, 1]
+        b[:m] = uniq[:, 2]
+        n0, n1, ok = (
+            np.asarray(x)
+            for x in dev.probe_updates_rec(self.dev.rec, self.dev.C, c, a, b)
+        )
+        return n0[inv], n1[inv], ok[inv] & (uniq[inv, 1] < uniq[inv, 2])
 
-        orders: per read the pop-all fragment uid list (post-SEG
-        superset); keys_of: uid -> queue key."""
+    def _extend_batch(self, flat_dev, base, pos, subcode, start_i, s0, s1):
+        """Batched variant extension via the flat parent-code array."""
+        m = len(base)
+        Nb = self._bucket(m, 1024)
+
+        def pad(v, fill=0):
+            out = np.full(Nb, fill, np.int32)
+            out[:m] = v
+            return out
+
+        act = np.zeros(Nb, bool)
+        act[:m] = True
+        i, r0, r1 = (
+            np.asarray(x)[:m]
+            for x in dev.extend_from_flat(
+                self.dev.rec2, self.dev.C, flat_dev,
+                pad(base), pad(pos), pad(subcode), pad(start_i),
+                pad(s0), pad(s1, 1), act,
+            )
+        )
+        return i, r0, r1
+
+    def _simulate(self, orders, keys_of):
+        """Vectorized level-synchronized co-simulation.
+
+        Computes per-read best_final (== the reference's final best
+        score: every entry the reference evaluates is evaluated here, and
+        extra evaluations score below their upper bound so they cannot
+        raise the maximum).  Probes and resumed extensions are pure
+        functions of (fragment, node, substitution chain), so all rows
+        are deduplicated at the VARIANT level across reads; per-read
+        state is only the running best.  Returns (best, records) where
+        records back-fill the replay caches."""
+        import jax
+
         cfg = self.cfg
         n = len(orders)
-        best = [0] * n
-        # round 1: all original fragments
-        plan_all: list = []
-        probes_all: list = []
-        pend: list[list[Entry]] = [[] for _ in range(n)]
+        best = np.zeros(n, dtype=np.int64)
         for r, order in enumerate(orders):
-            plan_r: list = []
-            probes_r: list = []
+            m = 0
             for uid in order:
-                si = self._max_matches(uid)
-                if si is None:
-                    continue
-                e = Entry(key=keys_of[uid], seq=0, frag=self._frags[uid])
-                if cfg.mismatches > 0:
-                    self._plan_for_entry(
-                        e, si, max(best[r], cfg.min_score), plan_r, probes_r
-                    )
-                if si.ql >= cfg.min_fragment_length:
-                    best[r] = self._sim_best(si, e, best[r])
-            plan_all.append(plan_r)
-            probes_all.append(probes_r)
+                ub = self._uid_best[uid]
+                if ub > m:
+                    m = ub
+            best[r] = m
+        if cfg.mismatches <= 0:
+            return best, []
 
-        rounds = 0
+        # uid universe of this batch + flat device codes + flat pref sums
+        uid_set = sorted({u for o in orders for u in o})
+        uid_pos = {u: t for t, u in enumerate(uid_set)}
+        base_of = np.zeros(len(uid_set), np.int64)
+        poff = np.zeros(len(uid_set), np.int64)
+        total = 0
+        ptotal = 0
+        for t, u in enumerate(uid_set):
+            base_of[t] = total
+            poff[t] = ptotal
+            total += len(self._enc_np[u])
+            ptotal += len(self._enc_np[u]) + 1
+        flat = np.zeros(self._bucket(max(total, 1), 4096), np.uint8)
+        pref_flat = np.zeros(ptotal, np.int64)
+        for t, u in enumerate(uid_set):
+            e = self._enc_np[u]
+            flat[base_of[t] : base_of[t] + len(e)] = e
+            pref_flat[poff[t] : poff[t] + len(e) + 1] = self._pref_np[u]
+        flat_dev = jax.device_put(flat)
+
+        # reads containing each uid (for thresholds + best updates)
+        uid_reads: list[list[int]] = [[] for _ in uid_set]
+        for r, order in enumerate(orders):
+            for uid in set(order):
+                uid_reads[uid_pos[uid]].append(r)
+
+        def thresholds():
+            thr = np.full(len(uid_set), 1 << 60, dtype=np.int64)
+            for t, rs in enumerate(uid_reads):
+                m = min(best[r] for r in rs)
+                thr[t] = max(m, cfg.min_score)
+            return thr
+
+        # round-1 variant rows (uid-level)
+        cols = ["key", "code", "ps0", "ps1", "pos", "diffc", "delta",
+                "matchlen", "effL", "subch"]
+        rows = {c: [] for c in cols}
+        rows["uidt"] = []
+        for u in uid_set:
+            v = self._uvars[u]
+            if v is None:
+                continue
+            m = len(v["key"])
+            for c in cols:
+                rows[c].append(v[c])
+            rows["uidt"].append(np.full(m, uid_pos[u], np.int64))
+        if not rows["key"]:
+            return best, ([], uid_set, base_of)
+        cur = {c: np.concatenate(rows[c]) for c in rows}
+        m1 = len(cur["key"])
+        cur["num_mm"] = np.ones(m1, np.int64)
+        cur["parent_rec"] = np.full(m1, -1, np.int64)
+        cur["parent_row"] = np.full(m1, -1, np.int64)
+
+        records = []
         while True:
-            rounds += 1
-            flat_probes = [p for pr in probes_all for p in pr]
-            if flat_probes:
-                self._serve_probes(flat_probes)
-            # materialize children
-            for r in range(n):
-                for (new_seq, score_after, num_mm, diff, ql), probe in zip(
-                    plan_all[r], probes_all[r]
-                ):
-                    res = self._probe_cache.get(probe)
-                    if res is None:
-                        continue
-                    pend[r].append(
-                        Entry(
-                            key=score_after, seq=0, frag=new_seq,
-                            num_mm=num_mm, diff=diff,
-                            si0=res[0], si1=res[1], matchlen=ql,
-                        )
-                    )
-            # pick this round's active children
-            active: list[tuple[int, Entry]] = []
-            for r in range(n):
-                keep = []
-                for e in pend[r]:
-                    if e.key >= max(best[r], cfg.min_score):
-                        active.append((r, e))
-                    else:
-                        keep.append(e)
-                pend[r] = keep
-            if not active:
+            thr = thresholds()
+            act = cur["key"] >= thr[cur["uidt"]]
+            if not act.any():
                 break
-            self._serve_extends(
-                [(e.frag, e.si0, e.si1, e.matchlen) for _r, e in active]
+            sub = {c: cur[c][act] for c in cur}
+            n0, n1, ok = self._probe_batch(
+                sub["code"], sub["ps0"], sub["ps1"]
             )
-            plan_all = [[] for _ in range(n)]
-            probes_all = [[] for _ in range(n)]
-            for r, e in active:
-                si = self._resume_si(e)
-                if si is None:
-                    continue
-                if e.num_mm < cfg.mismatches:
-                    self._plan_for_entry(
-                        e, si, max(best[r], cfg.min_score),
-                        plan_all[r], probes_all[r],
-                    )
-                if si.ql >= cfg.min_fragment_length:
-                    best[r] = self._sim_best(si, e, best[r])
-        return best
+            okp = np.flatnonzero(ok)
+            rec = {c: sub[c] for c in sub}
+            rec["n0"], rec["n1"], rec["ok"] = n0, n1, ok
+            if len(okp) == 0:
+                records.append(rec)
+                break
+            g = {c: sub[c][okp] for c in sub}
+            gi = n0[okp]
+            gs1 = n1[okp]
+            start_i = g["effL"] - g["matchlen"]
+            i_res, r0, r1 = self._extend_batch(
+                flat_dev, base_of[g["uidt"]], g["pos"], g["code"],
+                start_i.astype(np.int64), gi, gs1,
+            )
+            rec["ext_rows"] = okp
+            rec["i_res"], rec["r0"], rec["r1"] = i_res, r0, r1
+            records.append(rec)
+
+            ml = g["effL"] - i_res
+            L_req = np.where(
+                g["num_mm"] == cfg.mismatches, cfg.min_fragment_length,
+                g["matchlen"],
+            )
+            has_si = ml >= L_req
+            # eval: clamp(pref[effL]-pref[i_res]+delta+diffc)
+            prefs_hi = pref_flat[poff[g["uidt"]] + g["effL"]]
+            prefs_lo = pref_flat[poff[g["uidt"]] + i_res]
+            score = np.clip(
+                prefs_hi - prefs_lo + g["delta"] + g["diffc"], 0, None
+            )
+            evalok = has_si & (ml >= cfg.min_fragment_length) & (
+                score >= cfg.min_score
+            )
+            if evalok.any():
+                uval = np.zeros(len(uid_set), np.int64)
+                np.maximum.at(uval, g["uidt"][evalok], score[evalok])
+                for t in np.flatnonzero(uval):
+                    for r in uid_reads[t]:
+                        if uval[t] > best[r]:
+                            best[r] = uval[t]
+            # next-round variants
+            nxt_mask = has_si & (g["num_mm"] < cfg.mismatches)
+            if not nxt_mask.any():
+                break
+            w = np.flatnonzero(nxt_mask)
+            qi = i_res[w].astype(np.int64)
+            eff = g["effL"][w]
+            el = (qi > 0) & (eff >= cfg.min_fragment_length)
+            w = w[el]
+            if len(w) == 0:
+                break
+            qi = qi[el]
+            eff = g["effL"][w]
+            uidt = g["uidt"][w]
+            origc = flat[base_of[uidt] + qi - 1].astype(np.int64)
+            ori = self._aaidx_by_code[origc]
+            pref_eff = pref_flat[poff[uidt] + eff]
+            basev = (
+                np.clip(pref_eff + g["delta"][w] + g["diffc"][w], 0, None)
+                - self._diag20[ori]
+            )
+            sa = basev[:, None] + self._submat[ori]
+            keep = sa >= np.maximum(thr[uidt], cfg.min_score)[:, None]
+            mi, si_ = np.nonzero(keep)
+            if len(mi) == 0:
+                break
+            cur = dict(
+                key=sa[mi, si_],
+                code=self._subcode[ori[mi], si_].astype(np.int64),
+                ps0=r0[w[mi]].astype(np.int64),
+                ps1=r1[w[mi]].astype(np.int64),
+                pos=qi[mi] - 1,
+                diffc=g["diffc"][w[mi]]
+                + self._submat[ori[mi], si_]
+                - self._subdiag[ori[mi], si_],
+                delta=g["delta"][w[mi]]
+                + self._subdiag[ori[mi], si_]
+                - self._diag20[ori[mi]],
+                matchlen=(eff[mi] - qi[mi]) + 1,
+                effL=eff[mi],
+                uidt=uidt[mi],
+                subch=self._subchar[ori[mi], si_],
+                parent_rec=np.full(len(mi), len(records) - 1, np.int64),
+                parent_row=okp[w[mi]].astype(np.int64),
+                num_mm=g["num_mm"][w[mi]] + 1,
+            )
+        return best, (records, uid_set, base_of)
+
+    def _backfill(self, simrec, orders, best_final):
+        """Populate the probe/extension caches with exactly the rows the
+        restricted replay can touch: variants whose score upper bound
+        reaches the final best of SOME classified read containing their
+        root fragment."""
+        records, uid_set, base_of = simrec if simrec else ([], [], None)
+        if not records:
+            return
+        need = {}
+        for r, order in enumerate(orders):
+            if best_final[r] <= 0:
+                continue
+            for uid in set(order):
+                cur = need.get(uid)
+                if cur is None or best_final[r] < cur:
+                    need[uid] = int(best_final[r])
+        if not need:
+            return
+        needv = np.full(len(uid_set), 1 << 60, dtype=np.int64)
+        for t, u in enumerate(uid_set):
+            if u in need:
+                needv[t] = need[u]
+
+        def chain_seq(rec_i, row):
+            """(root uid index, [(pos, subch)...]) up the parent chain."""
+            subs = []
+            while True:
+                rec = records[rec_i] if rec_i >= 0 else None
+                if rec is None:
+                    break
+                subs.append((int(rec["pos"][row]), int(rec["subch"][row])))
+                uidt = int(rec["uidt"][row])
+                pr, pw = int(rec["parent_rec"][row]), int(
+                    rec["parent_row"][row]
+                )
+                if pr < 0:
+                    return uidt, subs
+                rec_i, row = pr, pw
+            return None, subs
+
+        for rec_i, rec in enumerate(records):
+            sel = np.flatnonzero(rec["key"] >= needv[rec["uidt"]])
+            if len(sel) == 0:
+                continue
+            ext_pos = {int(x): t for t, x in
+                       enumerate(rec.get("ext_rows", []))}
+            for x in sel:
+                x = int(x)
+                pk = (int(rec["code"][x]), int(rec["ps0"][x]),
+                      int(rec["ps1"][x]))
+                if rec["ok"][x]:
+                    n0, n1 = int(rec["n0"][x]), int(rec["n1"][x])
+                    self._probe_cache[pk] = (n0, n1)
+                    t = ext_pos.get(x)
+                    if t is not None:
+                        uidt, subs = chain_seq(rec_i, x)
+                        frag = self._frags[uid_set[uidt]]
+                        effL = int(rec["effL"][x])
+                        sq = list(frag[:effL])
+                        for pos, ch in subs:
+                            sq[pos] = chr(ch)
+                        new_seq = "".join(sq)
+                        self._ext_cache[
+                            (new_seq, n0, n1, int(rec["matchlen"][x]))
+                        ] = (
+                            int(rec["i_res"][t]),
+                            int(rec["r0"][t]),
+                            int(rec["r1"][t]),
+                        )
+                else:
+                    self._probe_cache[pk] = None
 
     # ---- restricted exact replay --------------------------------------
 
@@ -619,12 +1029,15 @@ class GreedyFastPipeline(SaResolveMixin):
         else:
             raw_orders = orders
 
-        best_final = self._simulate(orders, keys_of)
+        best_final, simrec = self._simulate(orders, keys_of)
+        self._backfill(simrec, orders, best_final)
 
         per_read = []
         si_orders = []
         for r, (name, s1, s2) in enumerate(reads):
-            if not raw_orders[r] and not orders[r]:
+            if (not raw_orders[r] and not orders[r]) or best_final[r] == 0:
+                # best_final == 0 proves no match anywhere reaches
+                # min_score: the reference outputs U without further work
                 per_read.append((name, None, 0, []))
                 si_orders.append([])
                 continue

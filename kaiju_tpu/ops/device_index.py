@@ -346,6 +346,57 @@ def probe_updates_rec(rec, C, c, si0, si1):
 
 
 @jax.jit
+def extend_from_flat(rec2, C, flat_codes, base, pos, subcode, start_i,
+                     si0, si1, active_in):
+    """Resumed extension whose per-lane sequence is a one-substitution
+    variant of a fragment stored in the flat batch code array: lane n's
+    character at local position x is flat_codes[base[n] + x], except
+    x == pos[n] where it is subcode[n].  Avoids uploading per-lane code
+    matrices for the Greedy co-simulation's variant extensions."""
+    from .fused_mem2 import _extend_paired  # local import: avoid cycle
+
+    nb = rec2.shape[0]
+
+    def body(st):
+        i, a0, a1, act = st
+        x = i - 1
+        cpos = jnp.where(act, base + x, 0)
+        c = jnp.where(x == pos, subcode, flat_codes[cpos].astype(jnp.int32))
+        b0 = jnp.minimum(a0 >> 7, nb - 1)
+        wide = act & ((a1 >> 7) > b0 + 1)
+
+        def paired(_):
+            pair = rec2[b0]
+            n0 = rank_row(pair[:, :64], C, c, a0)
+            n1 = jnp.where(
+                (a1 >> 7) == b0,
+                rank_row(pair[:, :64], C, c, a1),
+                rank_row(pair[:, 64:], C, c, a1),
+            )
+            return n0, n1
+
+        def twog(_):
+            r0 = rec2[b0]
+            r1 = rec2[jnp.minimum(a1 >> 7, nb - 1)]
+            n0 = rank_row(r0[:, :64], C, c, a0)
+            n1 = rank_row(r1[:, :64], C, c, a1)
+            return n0, n1
+
+        n0, n1 = jax.lax.cond(jnp.any(wide), twog, paired, None)
+        ok = act & (n0 < n1)
+        a0 = jnp.where(ok, n0, a0)
+        a1 = jnp.where(ok, n1, a1)
+        i = jnp.where(ok, i - 1, i)
+        return i, a0, a1, ok & (i > 0)
+
+    act = active_in & (start_i > 0)
+    i, s0, s1, _ = jax.lax.while_loop(
+        lambda st: jnp.any(st[3]), body, (start_i, si0, si1, act)
+    )
+    return i, s0, s1
+
+
+@jax.jit
 def extend_from_rec(rec2, C, codes, start_i, si0, si1, active_in):
     """maxMatches_withStart resumed extension via paired-record rows
     (reference: bwt.c:298-336); see extend_from for the contract."""

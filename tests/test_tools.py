@@ -148,3 +148,62 @@ def test_kaiju_cli_end_to_end(db_env, tmp_path):
          "-a", "greedy"]
     )
     assert open(out_path).read() == ref
+
+
+@needs_oracle
+def test_consistency_triangle(db_env, tmp_path):
+    """The reference CI's internal-consistency checks
+    (reference: test/viruses/sars-cov-2-SE.sh:9-31), on our own tools:
+    1. kaiju-multi combined output == concatenation of per-sample runs;
+    2. per-taxon table counts of individual samples sum to the combined
+       table's counts;
+    3. tables from single-sample kaiju == tables from kaiju-multi."""
+    import collections
+
+    rng = random.Random(91)
+    samples = []
+    for s in range(2):
+        reads = make_reads(rng, db_env["records"], n=80)
+        rp = os.path.join(str(tmp_path), f"s{s}.fastq")
+        write_fastq(reads, rp)
+        samples.append(rp)
+
+    outs = []
+    for s, rp in enumerate(samples):
+        op = os.path.join(str(tmp_path), f"s{s}.out")
+        _run_tool("kaiju_tpu.tools.kaiju",
+                  ["-t", db_env["nodes"], "-f", db_env["fmi"],
+                   "-i", rp, "-a", "greedy", "-o", op])
+        outs.append(op)
+
+    multi = _run_tool("kaiju_tpu.tools.kaiju_multi",
+                      ["-t", db_env["nodes"], "-f", db_env["fmi"],
+                       "-i", ",".join(samples), "-a", "greedy"])
+    concat = "".join(open(o).read() for o in outs)
+    assert sorted(multi.splitlines()) == sorted(concat.splitlines())
+
+    # named multi outputs == single-sample outputs
+    mouts = [os.path.join(str(tmp_path), f"m{s}.out") for s in range(2)]
+    _run_tool("kaiju_tpu.tools.kaiju_multi",
+              ["-t", db_env["nodes"], "-f", db_env["fmi"],
+               "-i", ",".join(samples), "-o", ",".join(mouts),
+               "-a", "greedy"])
+    for o, m in zip(outs, mouts):
+        assert open(o).read() == open(m).read()
+
+    # table counts: per-sample sums == combined
+    def counts(files):
+        out = _run_tool(
+            "kaiju_tpu.tools.kaiju2table",
+            ["-t", db_env["nodes"], "-n", db_env["names"],
+             "-r", "species", "-o", "/dev/stdout"] + files)
+        c = collections.Counter()
+        for line in out.splitlines()[1:]:
+            f = line.split("\t")
+            if len(f) >= 5:
+                c[f[3]] += int(f[2])
+        return c
+
+    per = counts([outs[0]]) + counts([outs[1]])
+    comb = counts(outs)
+    assert per == comb
