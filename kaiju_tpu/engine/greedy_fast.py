@@ -96,6 +96,7 @@ class GreedyFastPipeline(SaResolveMixin):
         device_index: Optional[dev.DeviceIndex] = None,
         kmer_tables: Optional[KmerTables] = None,
         kmer_cache_dir: Optional[str] = None,
+        source_fasta: Optional[str] = None,
     ):
         assert config.mode == "greedy" and not config.taxonomy_free
         from ..utils import enable_compile_cache
@@ -113,9 +114,16 @@ class GreedyFastPipeline(SaResolveMixin):
         import jax
 
         self._seed_rec = jax.device_put(self.kmer.packed_seed_rec(self.seed_K))
-        from ..ops.fused_mem2 import pre_steps_for
+        from ..ops.bloom import BloomScreen
 
-        self._pre = pre_steps_for(index.length, self.seed_K)
+        bl = BloomScreen.load_or_build(
+            index, kmer_cache_dir or index.source_dir,
+            min(config.seed_length, config.min_fragment_length),
+            fasta=source_fasta,
+        )
+        self._bloom_words = bl.words if bl else None
+        self._bloom_m = bl.m if bl else 0
+        self._bloom_lb = bl.lb if bl else 0
         self._trans = trans_table(index.alphabet)
         self._frag_seg = NativeFragmenter(
             "greedy", config.min_fragment_length, config.min_score,
@@ -234,7 +242,8 @@ class GreedyFastPipeline(SaResolveMixin):
             packed = np.asarray(
                 fused_greedy_map(
                     self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-                    self.dev.rec2, K, j0, Lmap, M2, Mout, Ms, self._pre,
+                    self.dev.rec2, self._bloom_words, K, j0, Lmap, M2, Mout,
+                    Ms, self._bloom_m, self._bloom_lb, 4,
                 )
             )
             n_rows, n2, n_surv = (int(x) for x in packed[Mout, :3])

@@ -48,6 +48,7 @@ from .fragments_fast import FastFragmentSource
 SA_ROWS = 32768  # fixed SA-walk batch shape
 SEED_K = 5  # packed seed-record depth for the fused device search
 TIE_CAP = 8  # per-fragment tie list width returned by the fused search
+STRIP_W = 4  # rightmost-positions strip width of the fused search
 
 
 class SaResolveMixin:
@@ -151,6 +152,7 @@ class MemFastPipeline(SaResolveMixin):
         device_index: Optional[dev.DeviceIndex] = None,
         kmer_tables: Optional[KmerTables] = None,
         kmer_cache_dir: Optional[str] = None,
+        source_fasta: Optional[str] = None,
     ):
         assert config.mode == "mem"
         self.cfg = config
@@ -168,9 +170,15 @@ class MemFastPipeline(SaResolveMixin):
         import jax
 
         self._seed_rec = jax.device_put(self.kmer.packed_seed_rec(self.seed_K))
-        from ..ops.fused_mem2 import pre_steps_for
+        from ..ops.bloom import BloomScreen
 
-        self._pre = pre_steps_for(index.length, self.seed_K)
+        bl = BloomScreen.load_or_build(
+            index, kmer_cache_dir or index.source_dir,
+            config.min_fragment_length, fasta=source_fasta,
+        )
+        self._bloom_words = bl.words if bl else None
+        self._bloom_m = bl.m if bl else 0
+        self._bloom_lb = bl.lb if bl else 0
         self._m2: dict[int, int] = {}  # phase-2 lane capacity per P bucket
         self._ms = 32768  # survivor-lane capacity of the completion loops
         self._trans = trans_table(index.alphabet)
@@ -199,6 +207,12 @@ class MemFastPipeline(SaResolveMixin):
         if self._device_tail:
             import jax
 
+            from .fragments_native import NativeFragmenter2
+
+            self._fragmenter2 = NativeFragmenter2(
+                config.mode, config.min_fragment_length, config.min_score,
+                config.seg, config.input_is_protein,
+            )
             par, dep = taxonomy.dense_arrays()
             self._parent = jax.device_put(par)
             self._depth = jax.device_put(dep)
@@ -326,8 +340,9 @@ class MemFastPipeline(SaResolveMixin):
         Ms = self._ms
         out = fused_mem_search2(
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-            self.dev.rec2, self.seed_K, j0, cfg.min_fragment_length, M2,
-            TIE_CAP, Ms, self._pre,
+            self.dev.rec2, self._bloom_words, self.seed_K, j0,
+            cfg.min_fragment_length, M2, TIE_CAP, Ms,
+            self._bloom_m, self._bloom_lb, STRIP_W,
         )
         return (todo, encoded, flat, frag_off, F, P, M2, Ms, out)
 
@@ -356,8 +371,9 @@ class MemFastPipeline(SaResolveMixin):
             self._ms = Ms
             out = fused_mem_search2(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-                self.dev.rec2, self.seed_K, j0, cfg.min_fragment_length, M2,
-                TIE_CAP, Ms, self._pre,
+                self.dev.rec2, self._bloom_words, self.seed_K, j0,
+                cfg.min_fragment_length, M2, TIE_CAP, Ms,
+                self._bloom_m, self._bloom_lb, STRIP_W,
             )
 
         overflow = [fi for fi in range(len(todo)) if tie_cnt[fi] > TIE_CAP]
@@ -442,9 +458,9 @@ class MemFastPipeline(SaResolveMixin):
         returned state is consumed by collect_batch; submitting the next
         batch before collecting the previous overlaps host work with
         device compute (the device queue stays busy)."""
-        frags, orders_local = self._fragmenter.run(reads)
         if self._device_tail:
-            return self._submit_tail(reads, frags, orders_local)
+            return self._submit_tail(reads)
+        frags, orders_local = self._fragmenter.run(reads)
         guid = [self._uid(f) for f in frags]
         orders = [[guid[u] for u in o] for o in orders_local]
         pending = self._dispatch_maps([u for o in orders for u in o])
@@ -452,40 +468,27 @@ class MemFastPipeline(SaResolveMixin):
 
     # ---- fully-fused device path -------------------------------------
 
-    def _submit_tail(self, reads, frags, orders):
+    def _submit_tail(self, reads):
         from ..ops.fused_classify import fused_mem_classify
 
         cfg = self.cfg
         j0 = cfg.min_fragment_length - 1
         B = len(reads)
-        F = self._bucket(max(len(frags), 1), 256)
-        encoded = []
-        for f in frags:
-            raw = np.frombuffer(f.encode("ascii"), dtype=np.uint8)
-            encoded.append(self._trans[raw].astype(np.uint8))
-        total = sum(len(e) for e in encoded)
-        P = self._bucket(max(total, 1), 4096)
-        flat = np.zeros(P, dtype=np.uint8)
-        frag_off = np.full(F + 1, total, dtype=np.int32)
-        pos = 0
-        for fi, e in enumerate(encoded):
-            frag_off[fi] = pos
-            flat[pos : pos + len(e)] = e
-            pos += len(e)
-        frag_off[len(encoded):] = pos
-
         S = self.S_SLOTS
+        flat, chars, frag_off, n_frags, _keys, rf, oflow = (
+            self._fragmenter2.run(reads, S, self._bucket)
+        )
+        P = flat.shape[0]
         # pad the read axis to a bucketed shape so ragged final batches
         # reuse the compiled executable (pad rows classify as U, dropped
         # in collect)
         Bp = self._bucket(B, 512)
-        rf_rows = np.full((Bp, S), -1, dtype=np.int32)
-        fallback = []
-        for r, order in enumerate(orders):
-            if len(order) > S:
-                fallback.append(r)
-            else:
-                rf_rows[r, : len(order)] = order
+        if Bp == B:
+            rf_rows = rf
+        else:
+            rf_rows = np.full((Bp, S), -1, dtype=np.int32)
+            rf_rows[:B] = rf
+        fallback = np.flatnonzero(oflow).tolist()
 
         M2 = self._m2.setdefault(P, min(P // 4, 262144))
         Ms = self._ms
@@ -493,11 +496,11 @@ class MemFastPipeline(SaResolveMixin):
         out = fused_mem_classify(
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
             rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
-            self._parent, self._depth, self.dev.rec2,
+            self._parent, self._depth, self.dev.rec2, self._bloom_words,
             self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
             self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
-            self.index.chpt_exp, self._pre, )
-        return ("tail", reads, frags, orders, fallback, args, M2, Ms, out)
+            self.index.chpt_exp, self._bloom_m, self._bloom_lb, STRIP_W)
+        return ("tail", reads, fallback, args, M2, Ms, out)
 
     def _collect_tail(self, state):
         from ..ops.fused_classify import (
@@ -507,7 +510,7 @@ class MemFastPipeline(SaResolveMixin):
         )
 
         cfg = self.cfg
-        _tag, reads, frags, orders, fallback, args, M2, Ms, out = state
+        _tag, reads, fallback, args, M2, Ms, out = state
         flat, frag_off, rf_rows = args
         j0 = cfg.min_fragment_length - 1
         B = len(reads)
@@ -524,10 +527,10 @@ class MemFastPipeline(SaResolveMixin):
             out = fused_mem_classify(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
                 rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
-                self._parent, self._depth, self.dev.rec2,
+                self._parent, self._depth, self.dev.rec2, self._bloom_words,
                 self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
                 self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
-                self.index.chpt_exp, self._pre,
+                self.index.chpt_exp, self._bloom_m, self._bloom_lb, STRIP_W,
             )
 
         flagged = set(fallback)
@@ -536,11 +539,12 @@ class MemFastPipeline(SaResolveMixin):
                 flagged.add(r)
         redo = {}
         if flagged:
+            # budget overflow / slot overflow: re-fragment just these
+            # reads on the string path and classify via the host tail
             sub = [reads[r] for r in sorted(flagged)]
-            sub_orders = [
-                [self._uid(frags[u]) for u in orders[r]]
-                for r in sorted(flagged)
-            ]
+            sub_frags, sub_local = self._fragmenter.run(sub)
+            guid = [self._uid(f) for f in sub_frags]
+            sub_orders = [[guid[u] for u in o] for o in sub_local]
             self._compute_maps([u for o in sub_orders for u in o])
             for rr, res in zip(
                 sorted(flagged), self._host_tail(sub, sub_orders)
@@ -603,17 +607,19 @@ class MemFastPipeline(SaResolveMixin):
     def classify_batch(self, reads) -> list[tuple[str, ClassifyResult]]:
         return self.collect_batch(self.submit_batch(reads))
 
-    def classify_stream(self, batches):
+    def classify_stream(self, batches, depth: int = 3):
         """Pipelined driver: yields per-read results batch by batch with
-        one batch of device lookahead."""
-        state = None
+        `depth` batches of device lookahead (the tunnel's ~30 ms
+        round-trip latency hides behind queued device work)."""
+        from collections import deque
+
+        q: deque = deque()
         for batch in batches:
-            nxt = self.submit_batch(batch)
-            if state is not None:
-                yield self.collect_batch(state)
-            state = nxt
-        if state is not None:
-            yield self.collect_batch(state)
+            q.append(self.submit_batch(batch))
+            if len(q) > depth:
+                yield self.collect_batch(q.popleft())
+        while q:
+            yield self.collect_batch(q.popleft())
 
     def collect_batch(self, state) -> list[tuple[str, ClassifyResult]]:
         if state[0] == "tail":

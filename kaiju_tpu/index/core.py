@@ -64,6 +64,7 @@ class KaijuIndex:
     seq_lengths: np.ndarray  # int64 [nseq]
     seq_term_order: np.ndarray  # int32 [nseq]: input index of content-rank r
     source_dir: str | None = None  # ktx directory this index was loaded from
+    text: np.ndarray | None = None  # uint8 codes with 0 separators (optional)
     _blocks: np.ndarray | None = field(default=None, repr=False)
 
     # ------------------------------------------------------------------
@@ -174,6 +175,9 @@ class KaijuIndex:
         blob = b"\n".join(n.encode("utf-8") for n in self.names)
         with open(os.path.join(path, "names.txt"), "wb") as fh:
             fh.write(blob)
+        if self.text is not None:
+            np.save(os.path.join(path, "text.npy"), self.text)
+        self.source_dir = path
 
     @classmethod
     def load(cls, path: str, mmap: bool = True) -> "KaijuIndex":
@@ -240,6 +244,7 @@ def finalize_index(
     names: list[str],
     seq_lengths: np.ndarray,
     seq_term_order: np.ndarray,
+    text: np.ndarray | None = None,
 ) -> KaijuIndex:
     C, occ = build_occ(bwt, len(alphabet))
     n = len(bwt)
@@ -261,4 +266,5 @@ def finalize_index(
         seq_taxids=taxids,
         seq_lengths=np.asarray(seq_lengths, dtype=np.int64),
         seq_term_order=np.asarray(seq_term_order, dtype=np.int32),
+        text=text,
     )

@@ -70,6 +70,12 @@ def build_index_from_codes(
 
     order = np.argsort(content_rank, kind="stable")  # content-rank r -> input
     names_sorted = [names_in[i] for i in order]
+    # 0-separated text copy (m-mer screen construction, kaiju_tpu.ops.bloom)
+    text = np.zeros(total + nseq, dtype=np.uint8)
+    ends = np.cumsum(seq_len + 1)
+    starts = ends - seq_len - 1
+    for i, s in enumerate(seqs):
+        text[starts[i] : ends[i] - 1] = s
     return finalize_index(
         bwt=bwt,
         alphabet=alphabet,
@@ -80,4 +86,5 @@ def build_index_from_codes(
         names=names_sorted,
         seq_lengths=seq_len[order],
         seq_term_order=order.astype(np.int32),
+        text=text,
     )

@@ -97,6 +97,9 @@ def build_index(
     names_sorted = [names_in[i] for i in order]
     lengths_sorted = lengths[order]
     term_order = np.array(order, dtype=np.int32)  # content-rank r -> input idx
+    text = np.concatenate(
+        [np.concatenate([s, np.zeros(1, np.uint8)]) for s in seqs]
+    ).astype(np.uint8)
 
     return finalize_index(
         bwt=bwt,
@@ -108,6 +111,7 @@ def build_index(
         names=names_sorted,
         seq_lengths=lengths_sorted,
         seq_term_order=term_order,
+        text=text,
     )
 
 

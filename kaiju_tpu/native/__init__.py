@@ -28,6 +28,8 @@ def build_library(force: bool = False) -> str:
         os.path.join(d, "sais.cpp"),
         os.path.join(d, "seg.cpp"),
         os.path.join(d, "fragments.cpp"),
+        os.path.join(d, "fragments2.cpp"),
+        os.path.join(d, "bloom.cpp"),
     ]
     if not force and os.path.exists(so):
         newest_src = max(os.path.getmtime(s) for s in srcs)
@@ -64,6 +66,24 @@ def get_lib():
                 ctypes.c_void_p,                                   # read off
                 ctypes.c_void_p,                                   # frag keys
                 ctypes.c_void_p,                                   # counts
+            ]
+            lib.kt_fragment_batch2.restype = ctypes.c_int
+            lib.kt_fragment_batch2.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # seqs
+                ctypes.c_void_p, ctypes.c_void_p,                  # seqs2
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # flags
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # seg/thr
+                ctypes.c_int32,                                    # S
+                ctypes.c_void_p, ctypes.c_int64,                   # flat
+                ctypes.c_void_p, ctypes.c_int64,                   # frag off
+                ctypes.c_void_p,                                   # keys
+                ctypes.c_void_p, ctypes.c_void_p,                  # rf/oflow
+                ctypes.c_void_p,                                   # counts
+            ]
+            lib.kt_bloom_fill.restype = None
+            lib.kt_bloom_fill.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_void_p,
             ]
             lib.kt_build_bwt.argtypes = [
                 ctypes.c_void_p,  # codes

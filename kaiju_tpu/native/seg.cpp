@@ -122,6 +122,33 @@ void trim(const int8_t* codes, int start, int length, int* lend_out, int* rend_o
     *rend_out = rend;
 }
 
+// Fast exact window entropy: the reference sums sv[i]*log(sv[i]/total)/LN2
+// over the DESCENDING-sorted count vector (blast_seg.c s_Entropy); summing
+// per count VALUE from 12 down, with duplicates consecutive, adds the
+// bit-identical term sequence without the per-window sort — terms come
+// from tables holding exactly the expressions the reference evaluates.
+struct EntTables {
+    double term[WINDOW + 1][WINDOW + 1];  // [total][v] = v*log(v/total)/LN2
+    double term10[WINDOW + 1];            // total==10 LOG_WIN10 path
+    EntTables() {
+        for (int total = 1; total <= WINDOW; ++total)
+            for (int v = 1; v <= WINDOW; ++v)
+                term[total][v] = v * std::log((double)v / total) / LN2;
+        for (int v = 1; v <= 10; ++v) term10[v] = v * LOG_WIN10[v] / LN2;
+        for (int v = 11; v <= WINDOW; ++v) term10[v] = 0.0;
+    }
+};
+
+double entropy_hist(const int* hist, int total) {
+    if (total == 0) return 0.0;
+    static const EntTables T;
+    const double* term = (total == 10) ? T.term10 : T.term[total];
+    double ent = 0.0;
+    for (int v = WINDOW; v >= 1; --v)
+        for (int k = 0; k < hist[v]; ++k) ent += term[v];
+    return std::fabs(ent / total);
+}
+
 void seg_seq(const int8_t* codes, int start, int length, int offset,
              std::vector<Seg>& segs) {
     const int downset = (WINDOW + 1) / 2 - 1;
@@ -131,19 +158,33 @@ void seg_seq(const int8_t* codes, int start, int length, int offset,
     std::vector<double> H(length, -1.0);
     {
         int counts[20] = {0};
-        int bogus = 0, sv[21];
+        int hist[WINDOW + 1] = {0};  // hist[v] = #letters with count v
+        int total = 0;
+        int bogus = 0;
+        auto inc = [&](int c) {
+            int v = counts[c]++;
+            if (v) --hist[v];
+            ++hist[v + 1];
+            ++total;
+        };
+        auto dec = [&](int c) {
+            int v = counts[c]--;
+            --hist[v];
+            if (v > 1) ++hist[v - 1];
+            --total;
+        };
         for (int p = start; p < start + WINDOW; ++p) {
-            if (codes[p] >= 0) counts[codes[p]]++; else ++bogus;
+            if (codes[p] >= 0) inc(codes[p]); else ++bogus;
         }
         int first = downset, last = length - upset;
         for (int i = first; i <= last; ++i) {
             if (bogus > MAXBOGUS) H[i] = -1.0;
-            else { state_vector(counts, sv); H[i] = entropy(sv); }
+            else H[i] = entropy_hist(hist, total);
             int p = start + (i - downset);
             if (p + WINDOW < start + length) {
-                if (codes[p] >= 0) counts[codes[p]]--; else --bogus;
+                if (codes[p] >= 0) dec(codes[p]); else --bogus;
                 int q = p + WINDOW;
-                if (codes[q] >= 0) counts[codes[q]]++; else ++bogus;
+                if (codes[q] >= 0) inc(codes[q]); else ++bogus;
             }
         }
     }

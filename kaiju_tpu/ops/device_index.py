@@ -139,39 +139,6 @@ def build_paired_records(rec_np: np.ndarray) -> np.ndarray:
     return np.concatenate([rec_np[:-1], rec_np[1:]], axis=1)
 
 
-@partial(jax.jit, static_argnums=(6,))
-def extend_stage(rec, C, stage_codes, i, si0, si1, steps):
-    """Run `steps` backward-extension steps on flat lanes.
-
-    stage_codes[n, t] = the t-th character to extend for lane n (already
-    host-sliced from the fragment, 0-padded past the lane's start), i.e.
-    codes[i0 - 1 - t].  Returns updated (i, si0, si1, active).
-    """
-
-    def cond(state):
-        t, i, si0, si1, active = state
-        return (t < steps) & jnp.any(active)
-
-    def body(state):
-        t, i, si0, si1, active = state
-        c = jax.lax.dynamic_slice_in_dim(stage_codes, t, 1, axis=1)[:, 0]
-        c = c.astype(jnp.int32)
-        ext = active & (i > 0) & (c > 0)
-        n0 = rank_fused(rec, C, c, si0)
-        n1 = rank_fused(rec, C, c, si1)
-        ok = ext & (n0 < n1)
-        si0 = jnp.where(ok, n0, si0)
-        si1 = jnp.where(ok, n1, si1)
-        i = jnp.where(ok, i - 1, i)
-        return t + 1, i, si0, si1, ok
-
-    active = jnp.ones(i.shape, dtype=bool)
-    _, i, si0, si1, active = jax.lax.while_loop(
-        cond, body, (0, i, si0, si1, active)
-    )
-    return i, si0, si1, active
-
-
 # ---------------------------------------------------------------------------
 # rank / fmindex
 # ---------------------------------------------------------------------------
@@ -195,17 +162,6 @@ def fmindex(blocks, occ, C, c, k):
         dtype=jnp.int32,
     )
     return C[c] + base + cnt
-
-
-def _fmindex_row(row, occ_b, C, c, off):
-    """fmindex when the block row and occ row are already gathered."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    cnt = jnp.sum(
-        (row == c[:, None].astype(row.dtype)) & (lanes < off[:, None]),
-        axis=1,
-        dtype=jnp.int32,
-    )
-    return C[c] + jnp.take_along_axis(occ_b, c[:, None], axis=1)[:, 0] + cnt
 
 
 # ---------------------------------------------------------------------------
@@ -353,8 +309,6 @@ def extend_from_flat(rec2, C, flat_codes, base, pos, subcode, start_i,
     character at local position x is flat_codes[base[n] + x], except
     x == pos[n] where it is subcode[n].  Avoids uploading per-lane code
     matrices for the Greedy co-simulation's variant extensions."""
-    from .fused_mem2 import _extend_paired  # local import: avoid cycle
-
     nb = rec2.shape[0]
 
     def body(st):

@@ -25,11 +25,11 @@ FLAG_NEED_MORE = 2  # position budget R exhausted before the id cap
 
 
 @partial(jax.jit,
-         static_argnums=(12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22))
+         static_argnums=(13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25))
 def fused_mem_classify(
     rec, C, seed_rec, flat_codes, frag_off, rf_rows,
-    sa_seq, sa_off, seq_tax, parent, depth, rec2,
-    K, j0, min_len, M2, Ms, T, R, cap, nseq, chpt_exp, pre=6,
+    sa_seq, sa_off, seq_tax, parent, depth, rec2, bloom_words,
+    K, j0, min_len, M2, Ms, T, R, cap, nseq, chpt_exp, m=0, lb=0, W=4,
 ):
     """rf_rows: int32 [B, S] — fragment row per (read, pop-order slot),
     -1 = pad.  parent/depth: int32 [max_taxid+1]; depth 0 = absent,
@@ -39,7 +39,8 @@ def fused_mem_classify(
     last row = (n2, n_surv, 0, 0) for the capacity retry.
     """
     ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
-                        Ms, rec2=rec2, pre=pre)
+                        Ms, rec2=rec2, bloom_words=bloom_words, m=m, lb=lb,
+                        W=W)
     stats = _mem_stats(ph, min_len, T)
 
     def walk_fn(kf):
@@ -71,8 +72,6 @@ def _sa_walk_local(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf):
     steps = jnp.zeros(N, jnp.int32)
     done = (kf & check) == 0
     iseq, _pos = sample(kf, steps)
-    maxtax = 0  # unused
-    del maxtax
     state0 = (kf, steps, done, iseq)
 
     def cond(st):
@@ -161,10 +160,15 @@ def classify_tail(stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
     )
     total = csum[:, -1]
 
+    # segment of output position r = #{cs <= r} - 1, via a broadcast
+    # compare-sum (a vmapped searchsorted lowers to slow per-row loops)
     rr = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
-    seg = jax.vmap(
-        lambda cs, r: jnp.searchsorted(cs, r, side="right") - 1
-    )(csum, rr).astype(jnp.int32)
+    seg = (
+        jnp.sum(
+            (csum[:, None, :] <= rr[:, :, None]).astype(jnp.int32), axis=2
+        )
+        - 1
+    )
     seg = jnp.clip(seg, 0, S * T - 1)
     valid_pos = rr < jnp.minimum(total, R)[:, None]
     # flat 1-D gathers (per-row take_along_axis is a slow lane-crossing
@@ -177,59 +181,6 @@ def classify_tail(stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
     off = rr - cs_at
     k0 = jnp.where(valid_pos, base + off, ((nseq >> chpt_exp) + 1) << chpt_exp)
     iseq = walk_fn(k0.reshape(-1))
-
-    def cond(st):
-        return jnp.any(~st[2])
-
-    def body(st):
-        k, steps, done, iseq = st
-        b = k >> 7
-        row = rec[jnp.minimum(b, nb1 - 1)]
-        occ_row = row[:, :32]
-        words = row[:, 32:].astype(jnp.uint32)
-        offw = k & 127
-        wlane = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
-        # byte at position off: word off>>2, byte lane off&3 — extracted
-        # with broadcast ops, no lane-crossing select
-        shift = ((offw & 3) * 8).astype(jnp.uint32)
-        c = jnp.sum(
-            jnp.where(
-                wlane == (offw >> 2)[:, None],
-                (words >> shift[:, None]) & 255,
-                0,
-            ),
-            axis=1,
-            dtype=jnp.int32,
-        )
-        # count of c among the first off bytes (word-level thresholds)
-        cnt = jnp.zeros(c.shape, jnp.int32)
-        cu = c.astype(jnp.uint32)[:, None]
-        for t in range(4):
-            byt = (words >> (8 * t)) & 255
-            th = ((offw - t + 3) >> 2)[:, None]
-            cnt = cnt + jnp.sum(
-                (byt == cu) & (wlane < th), axis=1, dtype=jnp.int32
-            )
-        basew = jnp.sum(
-            jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, occ_row.shape, 1)
-                == c[:, None],
-                occ_row,
-                0,
-            ),
-            axis=1,
-        )
-        k_new = C[c] + basew + cnt
-        hit_term = ~done & (c == 0)
-        iseq = jnp.where(hit_term, k_new, iseq)
-        stepping = ~done & ~hit_term
-        k = jnp.where(stepping, k_new, k)
-        steps = jnp.where(stepping, steps + 1, steps)
-        at_chk = stepping & ((k & check) == 0)
-        s_iseq, _sp = sample(k, steps)
-        iseq = jnp.where(at_chk, s_iseq, iseq)
-        done = done | hit_term | at_chk
-        return k, steps, done, iseq
 
     tax = jnp.where(
         valid_pos.reshape(-1),

@@ -1,25 +1,34 @@
-"""Fused MEM search v2: strip-phased extension over a flat fragment layout.
+"""Fused MEM search v3: Bloom-screened, compaction-staged backward search.
 
-Single-call design for a high-latency link to the TPU (see fused_mem.py);
-v2 additionally exploits the reference's early-exit structure
-(bwt.c:261-296: scan end positions right-to-left, stop at the first
-backward extension reaching query position <= 1) to avoid evaluating the
-~90% of end positions that a matching fragment never needs:
+Single-call device program for a high-latency link; v3 replaces v2's
+strip-phased wavefront with a three-stage funnel whose cost is dominated
+by ONE row gather per candidate end position:
 
-  phase 1 (strip): extend only the top W end positions of every fragment.
-    If any strip lane reaches i <= 1, that lane IS the fragment's jstop
-    (it is the largest such j), every position >= jstop lies inside the
-    strip, and the fragment is fully resolved.
-  phase 2 (remainder): for unresolved fragments only (junk frames and
-    mutated reads — exactly the set the reference scans fully), extend
-    the remaining positions; junk lanes die in the k-mer seed gather.
+  screen  every (fragment, end position) lane probes an m-mer presence
+          bitmap (kaiju_tpu.ops.bloom): a position can host a recordable
+          match (length >= min_len) only if its trailing m-mer exists in
+          the database, so ~98% of junk lanes die after one gather.
+  strip   the rightmost W screened positions of every fragment extend
+          first (the reference scans right-to-left and stops at the
+          first extension reaching query position <= 1, bwt.c:291-293;
+          fragments resolved here never evaluate lower positions).
+  remainder  screened positions of unresolved fragments only.
 
-Layout is flat: fragments are concatenated (frag_off offsets into a [P]
-code array), so upload bytes and lane counts scale with actual content,
-not padded [F, L] grids.  All statistics are segment reductions over the
-flat position space; the output per fragment is (maxl, jstop, tie list)
-— identical semantics to kaiju_tpu.engine.mem_fast's order-independent
-MEM statistics (reference: ConsumerThread.cpp:543-628).
+Extensions run on survivor-compacted lane buffers with staged halving
+capacities (junk/false-positive lanes die within a few steps; keeping
+dead lanes out of the deep while-loop is worth ~2x), and every step
+costs ONE paired-record row gather (rec2[b] = rec[b] ++ rec[b+1]; a
+narrow SA interval's two ends live in adjacent blocks).
+
+Per-fragment statistics are identical in semantics to the reference's
+greedyExact scan (ConsumerThread.cpp:543-628, bwt.c:347-380) via the
+order-independence argument in kaiju_tpu.engine.mem_fast: with
+jstop = the largest end position whose maximal extension reaches query
+position <= 1, maxl = max{ l_j : j >= jstop, l_j >= min_len } and the
+tie set is { j : l_j == maxl }, all computable from any superset of the
+positions the reference scans.  Screened-out lanes have l_j < min_len
+(no false negatives in the bitmap), so they contribute neither maxl,
+ties, nor an effective jstop — bit-exact parity is preserved.
 """
 
 from __future__ import annotations
@@ -30,56 +39,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .device_index import rank_fused
+from .bloom import GOLD, A32
+from .device_index import rank_fused, rank_row
 
 NLET = 20
-STRIP_W = 8
 
 
-def _step(rec, C, flat_codes, base, st, rank_pair=None):
+# ---------------------------------------------------------------------------
+# extension steps
+# ---------------------------------------------------------------------------
+
+
+def _paired_step(rec2, C, flat_codes, base, st, rank_pair=None):
+    """One masked backward-extension step; ONE paired-row gather per lane
+    (two when any lane's interval straddles >2 blocks — rare after the
+    seed).  st = (i, si0, si1, active)."""
     i, a0, a1, act = st
     cpos = jnp.where(act, base + i - 1, 0)
     c = flat_codes[cpos].astype(jnp.int32)
     if rank_pair is not None:
         n0, n1 = rank_pair(c, a0, a1)
     else:
-        n0 = rank_fused(rec, C, c, a0)
-        n1 = rank_fused(rec, C, c, a1)
-    ok = act & (n0 < n1)
-    a0 = jnp.where(ok, n0, a0)
-    a1 = jnp.where(ok, n1, a1)
-    i = jnp.where(ok, i - 1, i)
-    return i, a0, a1, ok & (i > 0)
-
-
-def _extend(rec, C, flat_codes, base, i, s0, s1, act, rank_pair=None,
-            any_fn=None):
-    """Backward-extend lanes to completion (masked while_loop)."""
-    anyf = any_fn or jnp.any
-    i, s0, s1, _ = jax.lax.while_loop(
-        lambda st: anyf(st[3]),
-        lambda st: _step(rec, C, flat_codes, base, st, rank_pair),
-        (i, s0, s1, act),
-    )
-    return i, s0, s1
-
-
-def _extend_paired(rec2, C, flat_codes, base, i, s0, s1, act):
-    """Completion loop with ONE 512-byte paired-row gather per step.
-
-    After the seed + pre-steps every surviving interval is narrow
-    (si1 - si0 <= 128 => end block is b0 or b0+1, both inside the
-    paired row).  A rare wide lane flips that iteration to the
-    two-gather body via lax.cond — correctness never depends on the
-    narrowness assumption."""
-    from .device_index import rank_row
-
-    nb = rec2.shape[0]
-
-    def body(st):
-        i, a0, a1, act = st
-        cpos = jnp.where(act, base + i - 1, 0)
-        c = flat_codes[cpos].astype(jnp.int32)
+        nb = rec2.shape[0]
         b0 = jnp.minimum(a0 >> 7, nb - 1)
         wide = act & ((a1 >> 7) > b0 + 1)
 
@@ -101,89 +82,169 @@ def _extend_paired(rec2, C, flat_codes, base, i, s0, s1, act):
             return n0, n1
 
         n0, n1 = jax.lax.cond(jnp.any(wide), twog, paired, None)
-        ok = act & (n0 < n1)
-        a0 = jnp.where(ok, n0, a0)
-        a1 = jnp.where(ok, n1, a1)
-        i = jnp.where(ok, i - 1, i)
-        return i, a0, a1, ok & (i > 0)
+    ok = act & (n0 < n1)
+    a0 = jnp.where(ok, n0, a0)
+    a1 = jnp.where(ok, n1, a1)
+    i = jnp.where(ok, i - 1, i)
+    return i, a0, a1, ok & (i > 0)
 
+
+def _bounded_extend(rec2, C, flat_codes, base, st, max_iters, rank_pair,
+                    any_fn):
+    """Up to max_iters paired steps with early exit when all lanes die."""
+    anyf = any_fn or jnp.any
+
+    def cond(s):
+        cnt, st = s
+        return (cnt < max_iters) & anyf(st[3])
+
+    def body(s):
+        cnt, st = s
+        return cnt + 1, _paired_step(rec2, C, flat_codes, base, st, rank_pair)
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    return st
+
+
+def _full_extend(rec2, C, flat_codes, base, st, rank_pair, any_fn):
+    anyf = any_fn or jnp.any
     i, s0, s1, _ = jax.lax.while_loop(
-        lambda st: jnp.any(st[3]), body, (i, s0, s1, act)
+        lambda st: anyf(st[3]),
+        lambda st: _paired_step(rec2, C, flat_codes, base, st, rank_pair),
+        st,
     )
     return i, s0, s1
 
 
-def _extend_compacted(rec, C, flat_codes, base, i, s0, s1, act, pre, Ms,
-                      rec2=None, rank_pair=None, any_fn=None):
-    """Extend lanes: `pre` fixed steps on all lanes (kills the vast
-    majority — junk dies within a step or two of the seed), then compact
-    the survivors into an [Ms]-lane buffer on device and run the long
-    tail to completion there.  Returns final (i, s0, s1) per input lane
-    plus the survivor count (> Ms means the caller must retry bigger).
+def _extend_paired(rec2, C, flat_codes, base, i, s0, s1, act):
+    """Backward-extend flat lanes to completion with paired-row gathers
+    (used by the Greedy co-simulation's resumed extensions,
+    kaiju_tpu.ops.device_index.extend_from_rec)."""
+    return _full_extend(rec2, C, flat_codes, base, (i, s0, s1, act), None,
+                        None)
 
-    This keeps the completion while_loop — whose cost is lanes x deepest
-    extension — on a buffer sized for the survivors instead of the full
-    lane population (~40x less work on junk-heavy batches)."""
-    N = base.shape[0]
-    st = (i, s0, s1, act)
-    for _ in range(pre):
-        st = _step(rec, C, flat_codes, base, st, rank_pair)
-    i, s0, s1, act = st
 
-    n_surv = jnp.sum(act, dtype=jnp.int32)
+# ---------------------------------------------------------------------------
+# seeded, survivor-compacted extension of a sparse lane set
+# ---------------------------------------------------------------------------
+
+STAGES = 3
+STAGE_LEN = 16
+
+
+def _staged_extend(rec2, C, seed_rec, flat_codes, frag_off, kid,
+                   lane_pos, lane_fid, lane_j, act, K, cap0,
+                   rank_pair=None, any_fn=None):
+    """Evaluate the maximal backward extension ending at each active lane.
+
+    lane_pos: flat end positions [N]; lane_fid/lane_j: fragment id and
+    local end position per lane; act: lanes to evaluate.  Lanes compact
+    into a [cap0] buffer, seed from the K-mer table, then extend with
+    staged halving capacities (STAGES stages of STAGE_LEN steps, then an
+    unbounded tail) so long-running real matches don't drag dead lanes
+    through the deep loop.
+
+    Returns (i, s0, s1) per input lane — inactive lanes get
+    (lane_j + 1, 0, 0), i.e. a length-0 result — plus `need`, the buffer
+    capacity that would have sufficed (> cap0 means retry bigger).
+    """
+    N = lane_pos.shape[0]
+    n_act = jnp.sum(act, dtype=jnp.int32)
     slot = jnp.cumsum(act, dtype=jnp.int32) - 1
-    slot = jnp.where(act & (slot < Ms), slot, Ms)
+    slot = jnp.where(act & (slot < cap0), slot, cap0)
 
-    def compact(vals, fill):
-        out = jnp.full((Ms + 1,), fill, dtype=vals.dtype)
-        return out.at[slot].set(vals, mode="drop")[:Ms]
+    def comp0(vals, fill):
+        out = jnp.full((cap0 + 1,), fill, dtype=vals.dtype)
+        return out.at[slot].set(vals, mode="drop")[:cap0]
 
-    ci = compact(i, jnp.int32(0))
-    c0 = compact(s0, jnp.int32(0))
-    c1 = compact(s1, jnp.int32(0))
-    cb = compact(base, jnp.int32(0))
-    ca = compact(act, False)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
-    cl = compact(lane, jnp.int32(N))
+    cpos = comp0(lane_pos, jnp.int32(0))
+    cfid = comp0(lane_fid, jnp.int32(0))
+    cjl = comp0(lane_j, jnp.int32(0))
+    cact = comp0(act, False)
+    corig = comp0(
+        jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0], jnp.int32(N)
+    )
 
-    if rank_pair is not None:
-        ci, c0, c1 = _extend(rec, C, flat_codes, cb, ci, c0, c1, ca,
+    # seed: one K-mer record gather per surviving lane
+    srow = seed_rec[jnp.where(cact, kid[cpos], 0)]
+    d = jnp.where(cact, srow[:, 2], 0)
+    ci = jnp.where(d > 0, cjl - d + 1, cjl)
+    cs0 = jnp.where(cact, srow[:, 0], 0)
+    cs1 = jnp.where(cact, srow[:, 1], 0)
+    calive = cact & (d == K) & (ci > 0)
+    cbase = frag_off[cfid]
+
+    # result accumulators (defaults: length-0 results)
+    res_i = lane_j + 1
+    res_s0 = jnp.zeros((N,), jnp.int32)
+    res_s1 = jnp.zeros((N,), jnp.int32)
+
+    def scatter(res, orig, vals, guard):
+        idx = jnp.where(guard, orig, N)
+        return jnp.concatenate([res, res[:1]]).at[idx].set(
+            vals, mode="drop"
+        )[:N]
+
+    need = n_act
+    st = (ci, cs0, cs1, calive)
+    cur_base, cur_orig, cur_act0 = cbase, corig, cact
+    cap = cap0
+    for t in range(STAGES):
+        st = _bounded_extend(rec2, C, flat_codes, cur_base, st, STAGE_LEN,
                              rank_pair, any_fn)
-    elif rec2 is not None:
-        ci, c0, c1 = _extend_paired(rec2, C, flat_codes, cb, ci, c0, c1, ca)
-    else:
-        ci, c0, c1 = _extend(rec, C, flat_codes, cb, ci, c0, c1, ca)
+        i_t, s0_t, s1_t, alive_t = st
+        res_i = scatter(res_i, cur_orig, i_t, cur_act0)
+        res_s0 = scatter(res_s0, cur_orig, s0_t, cur_act0)
+        res_s1 = scatter(res_s1, cur_orig, s1_t, cur_act0)
+        # compact still-running lanes into the next (halved) capacity
+        cap2 = cap // 2
+        n_alive = jnp.sum(alive_t, dtype=jnp.int32)
+        need = jnp.maximum(need, n_alive * (cap0 // cap2))
+        slot2 = jnp.cumsum(alive_t, dtype=jnp.int32) - 1
+        slot2 = jnp.where(alive_t & (slot2 < cap2), slot2, cap2)
 
-    def scat(vals_full, cvals):
-        return vals_full.at[jnp.where(ca, cl, N)].set(cvals, mode="drop")
+        def comp2(vals, fill, slot2=slot2, cap2=cap2):
+            out = jnp.full((cap2 + 1,), fill, dtype=vals.dtype)
+            return out.at[slot2].set(vals, mode="drop")[:cap2]
 
-    i = scat(jnp.concatenate([i, jnp.zeros(1, i.dtype)]), ci)[:N]
-    s0 = scat(jnp.concatenate([s0, jnp.zeros(1, s0.dtype)]), c0)[:N]
-    s1 = scat(jnp.concatenate([s1, jnp.zeros(1, s1.dtype)]), c1)[:N]
-    return i, s0, s1, n_surv
+        st = (
+            comp2(i_t, jnp.int32(0)),
+            comp2(s0_t, jnp.int32(0)),
+            comp2(s1_t, jnp.int32(0)),
+            comp2(alive_t, False),
+        )
+        cur_base = comp2(cur_base, jnp.int32(0))
+        cur_orig = comp2(cur_orig, jnp.int32(N))
+        cur_act0 = st[3]
+        cap = cap2
+
+    i_f, s0_f, s1_f = _full_extend(rec2, C, flat_codes, cur_base, st,
+                                   rank_pair, any_fn)
+    res_i = scatter(res_i, cur_orig, i_f, cur_act0)
+    res_s0 = scatter(res_s0, cur_orig, s0_f, cur_act0)
+    res_s1 = scatter(res_s1, cur_orig, s1_f, cur_act0)
+    return res_i, res_s0, res_s1, need
 
 
-def pre_steps_for(length: int, K: int) -> int:
-    """Extension steps before survivor compaction: enough that a random
-    (junk) lane is almost surely dead — one step past the expected
-    maximal random-match depth log20(len) — minus the K seed steps."""
-    import math
-
-    return max(2, math.ceil(math.log(max(length, 400), 20)) + 2 - K)
+# ---------------------------------------------------------------------------
+# shared search phases
+# ---------------------------------------------------------------------------
 
 
 def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
-                   rec2=None, pre=6, rank_pair=None, any_fn=None):
-    """Shared strip + remainder search over the flat fragment layout.
+                   rec2=None, bloom_words=None, m=0, lb=0, W=4,
+                   rank_pair=None, any_fn=None):
+    """Screen + strip + remainder over the flat fragment layout.
 
-    Returns a dict with the per-lane results of both phases plus the
-    coordinate arrays (see fused_mem_search2 for the meanings)."""
+    bloom_words/m/lb: the m-mer presence bitmap (None/0 = no screening —
+    every usable position is evaluated; same results, more work).
+    Returns the per-lane results of both phases (strip grid [F, W] with
+    ascending j, remainder buffer [M2]) plus jstop and overflow counts.
+    """
     P = flat_codes.shape[0]
     F = frag_off.shape[0] - 1
     c32 = flat_codes.astype(jnp.int32)
 
-    # per-position fragment id via boundary scatter + cumsum (a
-    # searchsorted here costs ~15 gathers per position)
     parange = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
     bumps = jnp.zeros((P + 1,), jnp.int32).at[frag_off[1:F]].add(1)[:P]
     fid = jnp.cumsum(bumps)
@@ -191,6 +252,7 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     fstart = frag_off[fid]
     flen_p = frag_off[fid + 1] - fstart
     j_local = parange - fstart
+    usable = (j_local >= j0) & (j_local < flen_p)
 
     # k-mer id ending at every flat position (windows never straddle a
     # fragment boundary for usable lanes because j0 >= K-1)
@@ -199,138 +261,109 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
         sh = K - 1 - t
         shifted = jnp.pad(c32, (sh, 0))[:P]
         kid = kid + (shifted - 1) * (NLET ** (K - 1 - t))
-    usable = (j_local >= j0) & (j_local < flen_p)
     kid = jnp.where(usable, kid, 0)
+
+    # m-mer presence screen: ONE bitmap gather per usable position
+    if bloom_words is not None and m > 0:
+        cu = c32.astype(jnp.uint32)
+        h = jnp.zeros((P,), jnp.uint32)
+        a_t = np.uint32(1)
+        for t in range(m):
+            shifted = jnp.pad(cu, (t, 0))[:P] if t else cu
+            h = h + shifted * a_t
+            a_t = np.uint32(int(a_t) * int(A32) & 0xFFFFFFFF)
+        idx = (h * GOLD) >> np.uint32(32 - lb)
+        wword = bloom_words[
+            jnp.where(usable, (idx >> 5).astype(jnp.int32), 0)
+        ]
+        screened = usable & (((wword >> (idx & 31)) & 1) > 0)
+    else:
+        screened = usable
 
     flen_f = frag_off[1:] - frag_off[:-1]
 
-    def seed(pos, lane_valid):
-        """pos: flat end positions.  Returns (i_local, s0, s1, alive,
-        resolved_now) — resolved_now = died inside the seed."""
-        srow = seed_rec[jnp.where(lane_valid, kid[pos], 0)]
-        d = jnp.where(lane_valid, srow[:, 2], 0)
-        jl = pos - frag_off[fid[pos]]
-        i = jnp.where(d > 0, jl - d + 1, jl)
-        s0 = srow[:, 0]
-        s1 = srow[:, 1]
-        alive = lane_valid & (d == K) & (i > 0)
-        return i, s0, s1, alive
-
-    # ---- phase 1: top-W strip -----------------------------------------
-    w = jax.lax.broadcasted_iota(jnp.int32, (F, STRIP_W), 1)
-    strip_j = flen_f[:, None] - 1 - w
-    strip_valid = strip_j >= j0
+    # ---- phase 1: rightmost-W strip (ascending j in w) -----------------
+    w = jax.lax.broadcasted_iota(jnp.int32, (F, W), 1)
+    strip_j = flen_f[:, None] - W + w
+    strip_valid = (strip_j >= j0) & (strip_j < flen_f[:, None])
     strip_pos = jnp.where(strip_valid, frag_off[:-1, None] + strip_j, 0)
     sp = strip_pos.reshape(-1)
-    sv = strip_valid.reshape(-1)
-    i1, s01, s11, alive1 = seed(sp, sv)
-    base1 = frag_off[fid[sp]]
-    i1, s01, s11, nsurv1 = _extend_compacted(
-        rec, C, flat_codes, base1, i1, s01, s11, alive1, pre, Ms,
-        rec2=rec2, rank_pair=rank_pair, any_fn=any_fn,
+    act1 = (strip_valid.reshape(-1)) & screened[sp]
+    fgrid = jax.lax.broadcasted_iota(jnp.int32, (F, W), 0)
+    i1, s01, s11, need1 = _staged_extend(
+        rec2 if rec2 is not None else rec, C, seed_rec, flat_codes,
+        frag_off, kid, sp, fgrid.reshape(-1), strip_j.reshape(-1), act1,
+        K, Ms, rank_pair=rank_pair, any_fn=any_fn,
     )
+    i1g = i1.reshape(F, W)
+    s01g = s01.reshape(F, W)
+    s11g = s11.reshape(F, W)
+    eval1 = act1.reshape(F, W)
+    len1 = strip_j - i1g + 1
 
-    # fragment resolved iff some strip lane reached i <= 1, or the strip
-    # already covered every usable position
-    found = jnp.any((i1.reshape(F, STRIP_W) <= 1) & strip_valid, axis=1)
-    exhausted = flen_f - 1 - STRIP_W < j0
+    # fragment resolved iff some evaluated strip lane reached i <= 1
+    # (the reference's scan break) or the strip covered every usable
+    # position
+    found = jnp.any((i1g <= 1) & eval1, axis=1)
+    exhausted = flen_f - W < j0
     resolved = found | exhausted
 
-    # ---- phase 2: remaining positions of unresolved fragments ---------
-    need2 = usable & ~resolved[fid] & (j_local < flen_p - STRIP_W)
-    n2 = jnp.sum(need2, dtype=jnp.int32)
-    slot = jnp.cumsum(need2, dtype=jnp.int32) - 1
-    slot = jnp.where(need2 & (slot < M2), slot, M2)
+    # ---- phase 2: remaining screened positions of unresolved fragments
+    need2_mask = screened & ~resolved[fid] & (j_local < flen_p - W)
+    n2 = jnp.sum(need2_mask, dtype=jnp.int32)
+    slot = jnp.cumsum(need2_mask, dtype=jnp.int32) - 1
+    slot = jnp.where(need2_mask & (slot < M2), slot, M2)
 
     def compact(vals, fill):
         out = jnp.full((M2 + 1,), fill, dtype=vals.dtype)
         return out.at[slot].set(vals, mode="drop")[:M2]
 
     pos2 = compact(parange, jnp.int32(0))
-    v2 = compact(need2, False)
-    i2, s02, s12, alive2 = seed(pos2, v2)
-    base2 = frag_off[fid[pos2]]
-    i2, s02, s12, nsurv2 = _extend_compacted(
-        rec, C, flat_codes, base2, i2, s02, s12, alive2, pre, Ms,
-        rec2=rec2, rank_pair=rank_pair, any_fn=any_fn,
+    v2 = compact(need2_mask, False)
+    fid2 = compact(fid, jnp.int32(0))
+    j2 = compact(j_local, jnp.int32(0))
+    i2, s02, s12, need2x = _staged_extend(
+        rec2 if rec2 is not None else rec, C, seed_rec, flat_codes,
+        frag_off, kid, pos2, fid2, j2, v2, K, M2,
+        rank_pair=rank_pair, any_fn=any_fn,
     )
-
-    # ---- per-fragment coordinates of the two evaluated lane sets ------
-    # strip lanes form a regular [F, W] grid (j descending in w); phase-2
-    # lanes are a compacted [M2] set.  The two are disjoint, and every
-    # phase-2 j is strictly below every strip j of the same fragment.
-    i1g = i1.reshape(F, STRIP_W)
-    s01g = s01.reshape(F, STRIP_W)
-    s11g = s11.reshape(F, STRIP_W)
-    len1 = strip_j - i1g + 1
-
-    fid2 = fid[pos2]
-    j2 = j_local[pos2]
     len2 = j2 - i2 + 1
 
     def seg_max(vals, seg):
         return jax.ops.segment_max(vals, seg, num_segments=F)
 
     jstop = jnp.maximum(
-        jnp.max(jnp.where(strip_valid & (i1g <= 1), strip_j, -1), axis=1),
+        jnp.max(jnp.where(eval1 & (i1g <= 1), strip_j, -1), axis=1),
         seg_max(jnp.where(v2 & (i2 <= 1), j2, -1), fid2),
     )
+    # need (survivor-capacity overflow) scaled to the strip's Ms budget;
+    # phase-2 ran at capacity M2, report in the same n2 slot
+    n2 = jnp.maximum(n2, need2x)
     return dict(
-        F=F, strip_j=strip_j, strip_valid=strip_valid,
+        F=F, W=W, strip_j=strip_j, strip_valid=strip_valid, eval1=eval1,
         i1g=i1g, s01g=s01g, s11g=s11g, len1=len1,
         pos2=pos2, v2=v2, fid2=fid2, j2=j2, i2=i2, s02=s02, s12=s12,
         len2=len2, jstop=jstop, seg_max=seg_max,
-        n2=n2, nsurv=jnp.maximum(nsurv1, nsurv2),
+        n2=n2, nsurv=need1,
     )
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
-def fused_mem_search2(
-    rec, C, seed_rec, flat_codes, frag_off, rec2, K, j0, min_len, M2, T, Ms,
-    pre=6,
-):
-    """flat_codes: uint8 [P] concatenated fragment letter codes;
-    frag_off: int32 [F+1] (monotone; last = true P; trailing pad fragment
-    rows must repeat the end offset); kid_ok: bool scalar array (unused
-    placeholder for future presence bitmaps).
-
-    Static: K seed depth (>= 1; requires j0 >= K-1), j0, min_len, M2
-    (phase-2 lane capacity), T (tie cap), Ms (survivor capacity of the
-    post-PRE_STEPS compacted completion loops).
-
-    Returns one packed int32 array [F+1, 2+3T]: rows 0..F-1 are
-    (maxl, tie_cnt, tie_j[T], tie_s0[T], tie_s1[T]) per fragment; row F
-    carries (n2, n_surv) in its first two columns.  n2 > M2 or
-    n_surv > Ms means a capacity overflow: retry with the reported
-    capacities.
-    """
-    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
-                        Ms, rec2=rec2, pre=pre)
-    maxl, tie_cnt, tie_j, tie_s0, tie_s1 = _mem_stats(ph, min_len, T)
-    F = ph["F"]
-    n2, nsurv = ph["n2"], ph["nsurv"]
-
-    # single packed output => ONE device->host fetch on a high-latency
-    # link: [F+1, 2+3T] int32; last row carries (n2, n_surv) in cols 0:2
-    out = jnp.concatenate(
-        [maxl[:, None], tie_cnt[:, None], tie_j, tie_s0, tie_s1], axis=1
-    )
-    scal = jnp.zeros((1, 2 + 3 * T), jnp.int32)
-    scal = scal.at[0, 0].set(n2).at[0, 1].set(nsurv)
-    return jnp.concatenate([out, scal], axis=0)
+# ---------------------------------------------------------------------------
+# per-fragment MEM statistics
+# ---------------------------------------------------------------------------
 
 
 def _mem_stats(ph, min_len, T):
     """Per-fragment greedyExact statistics from the phase results:
     (maxl, tie_cnt, tie_j, tie_s0, tie_s1 — ties ascending j, capped T)."""
-    F = ph["F"]
-    strip_j, strip_valid = ph["strip_j"], ph["strip_valid"]
+    F, W = ph["F"], ph["W"]
+    strip_j, eval1 = ph["strip_j"], ph["eval1"]
     s01g, s11g, len1 = ph["s01g"], ph["s11g"], ph["len1"]
     v2, fid2, j2 = ph["v2"], ph["fid2"], ph["j2"]
     s02, s12, len2 = ph["s02"], ph["s12"], ph["len2"]
     jstop, seg_max = ph["jstop"], ph["seg_max"]
 
-    elig1 = strip_valid & (strip_j >= jstop[:, None]) & (len1 >= min_len)
+    elig1 = eval1 & (strip_j >= jstop[:, None]) & (len1 >= min_len)
     elig2 = v2 & (j2 >= jstop[fid2]) & (len2 >= min_len)
     maxl = jnp.maximum(
         jnp.max(jnp.where(elig1, len1, 0), axis=1),
@@ -344,20 +377,18 @@ def _mem_stats(ph, min_len, T):
     cnt2 = jax.ops.segment_sum(tie2.astype(jnp.int32), fid2, num_segments=F)
     tie_cnt = cnt1 + cnt2
 
-    # phase-2 ties first (ascending j within the compacted order because
-    # compaction preserves flat-position order)
+    # phase-2 ties first (every phase-2 j is below every strip j of the
+    # same fragment; compaction preserved ascending flat order)
     rank2g = jnp.cumsum(tie2.astype(jnp.int32)) - 1
     last2 = seg_max(jnp.where(tie2, rank2g, -1), fid2)
     first2 = last2 - jnp.maximum(cnt2, 1) + 1
     lr2 = rank2g - first2[fid2]
+    M2 = v2.shape[0]
     dst2 = jnp.where(tie2 & (lr2 < T), fid2 * T + lr2, F * T)
-    # strip ties after them, ascending j == descending w
-    lr1 = (
-        jnp.cumsum(tie1[:, ::-1].astype(jnp.int32), axis=1)[:, ::-1]
-        - tie1.astype(jnp.int32)
-    )
+    # strip ties after them (w already ascends in j)
+    lr1 = jnp.cumsum(tie1.astype(jnp.int32), axis=1) - tie1.astype(jnp.int32)
     lr1 = cnt2[:, None] + lr1
-    fgrid = jax.lax.broadcasted_iota(jnp.int32, (F, STRIP_W), 0)
+    fgrid = jax.lax.broadcasted_iota(jnp.int32, (F, W), 0)
     dst1 = jnp.where(tie1 & (lr1 < T), fgrid * T + lr1, F * T).reshape(-1)
 
     def put(vals2, vals1, fill):
@@ -372,33 +403,72 @@ def _mem_stats(ph, min_len, T):
     return maxl, tie_cnt, tie_j, tie_s0, tie_s1
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
+# ---------------------------------------------------------------------------
+# public fused entry points
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
+def fused_mem_search2(
+    rec, C, seed_rec, flat_codes, frag_off, rec2, bloom_words,
+    K, j0, min_len, M2, T, Ms, m=0, lb=0, W=4,
+):
+    """flat_codes: uint8 [P] concatenated fragment letter codes;
+    frag_off: int32 [F+1] (monotone; last = true P; trailing pad fragment
+    rows must repeat the end offset); bloom_words: uint32 bitmap or None.
+
+    Static: K seed depth (>= 1; requires j0 >= K-1), j0, min_len, M2
+    (remainder lane capacity), T (tie cap), Ms (strip survivor capacity),
+    m/lb (bitmap window length and size exponent; 0 = unscreened), W
+    (strip width).
+
+    Returns one packed int32 array [F+1, 2+3T]: rows 0..F-1 are
+    (maxl, tie_cnt, tie_j[T], tie_s0[T], tie_s1[T]) per fragment; row F
+    carries (n2, n_surv) in its first two columns.  n2 > M2 or
+    n_surv > Ms means a capacity overflow: retry with the reported
+    capacities.
+    """
+    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
+                        Ms, rec2=rec2, bloom_words=bloom_words, m=m, lb=lb,
+                        W=W)
+    maxl, tie_cnt, tie_j, tie_s0, tie_s1 = _mem_stats(ph, min_len, T)
+    F = ph["F"]
+    out = jnp.concatenate(
+        [maxl[:, None], tie_cnt[:, None], tie_j, tie_s0, tie_s1], axis=1
+    )
+    scal = jnp.zeros((1, 2 + 3 * T), jnp.int32)
+    scal = scal.at[0, 0].set(ph["n2"]).at[0, 1].set(ph["nsurv"])
+    return jnp.concatenate([out, scal], axis=0)
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
 def fused_greedy_map(
-    rec, C, seed_rec, flat_codes, frag_off, rec2, K, j0, Lmap, M2, Mout, Ms,
-    pre=6,
+    rec, C, seed_rec, flat_codes, frag_off, rec2, bloom_words,
+    K, j0, Lmap, M2, Mout, Ms, m=0, lb=0, W=4,
 ):
     """Sparse maxMatches map for the Greedy engine: every evaluated end
     position j with j >= jstop(fragment) and match length >= Lmap, i.e.
     exactly the candidate set the reference's maxMatches insertion loop
     visits (reference: bwt.c:261-296 with max_matches = 0, so L never
-    grows).  j0 must be Lmap - 1.
+    grows).  j0 must be Lmap - 1; the bitmap must be built for m = Lmap.
 
     Returns packed int32 [Mout+1, 5]: rows (fid, j, i, s0, s1), unsorted;
     last row = (n_rows, n2, n_surv, 0, 0).  Overflow on any of the three
     counts => retry with larger capacities.
     """
     ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
-                        Ms, rec2=rec2, pre=pre)
-    F = ph["F"]
-    strip_j, strip_valid = ph["strip_j"], ph["strip_valid"]
+                        Ms, rec2=rec2, bloom_words=bloom_words, m=m, lb=lb,
+                        W=W)
+    F, W_ = ph["F"], ph["W"]
+    strip_j, eval1 = ph["strip_j"], ph["eval1"]
     i1g, s01g, s11g, len1 = ph["i1g"], ph["s01g"], ph["s11g"], ph["len1"]
     v2, fid2, j2 = ph["v2"], ph["fid2"], ph["j2"]
     i2, s02, s12, len2 = ph["i2"], ph["s02"], ph["s12"], ph["len2"]
     jstop = ph["jstop"]
 
-    elig1 = (strip_valid & (strip_j >= jstop[:, None]) & (len1 >= Lmap)).reshape(-1)
+    elig1 = (eval1 & (strip_j >= jstop[:, None]) & (len1 >= Lmap)).reshape(-1)
     elig2 = v2 & (j2 >= jstop[fid2]) & (len2 >= Lmap)
-    fgrid = jax.lax.broadcasted_iota(jnp.int32, (F, STRIP_W), 0).reshape(-1)
+    fgrid = jax.lax.broadcasted_iota(jnp.int32, (F, W_), 0).reshape(-1)
 
     both = jnp.concatenate([elig1, elig2])
     n_rows = jnp.sum(both, dtype=jnp.int32)

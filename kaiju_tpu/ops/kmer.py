@@ -184,7 +184,7 @@ class KmerTables:
         even the last letter is absent from the DB.
 
         One row gather replaces the whole per-depth descent — the seed step
-        of the fused device search (kaiju_tpu.ops.fused_mem).
+        of the fused device search (kaiju_tpu.ops.fused_mem2).
         """
         K = K or self.K
         K = min(K, self.K)
@@ -201,71 +201,3 @@ class KmerTables:
             rec[pres, 1] = s1[pres].astype(np.int32)
             rec[pres, 2] = d
         return rec
-
-    # ---- seeding ------------------------------------------------------
-
-    @property
-    def nonempty(self) -> list[np.ndarray]:
-        """Per-depth bool arrays: table entry has a non-empty interval."""
-        ne = getattr(self, "_nonempty", None)
-        if ne is None:
-            ne = [s0 < s1 for s0, s1 in self.tables]
-            self._nonempty = ne
-        return ne
-
-    def seed(self, codes: np.ndarray, flen: np.ndarray, j0: int):
-        """Seed all lanes (fragment-row, end position j >= j0).
-
-        codes: [F, L] uint8 letter codes (1..20; 0 pad), flen: [F].
-        Returns per-lane [F, L] arrays (positions j < j0 or >= flen are
-        dead with depth 0):
-          depth:  reached depth d* (0..K)
-          i:      match start = j - d* + 1 (d*>0), j when dead at 0
-          si0/si1: interval at depth d* (0 when d* == 0)
-          alive:  extension may continue (d* == min(K, j+1) and i > 0)
-
-        Uses the suffix-monotonicity of k-mer presence (a present d-mer has
-        a present (d-1)-suffix), so the reached depth is simply the SUM of
-        per-depth presence flags — no iterative descent.
-        """
-        F, L = codes.shape
-        K = self.K
-        c32 = codes.astype(np.int32)
-        jgrid = np.arange(L, dtype=np.int32)[None, :]
-        valid = (jgrid < flen[:, None]) & (jgrid >= j0)
-
-        ne = self.nonempty
-        # depth = sum of presence over usable depths
-        depth = np.zeros((F, L), dtype=np.int32)
-        ids_prev = c32 - 1  # depth-1 ids (invalid where pad, see mask)
-        dv = np.minimum(K, jgrid + 1)
-        depth += (dv >= 1) & ne[0][np.clip(ids_prev, 0, None)]
-        id_by_depth = [ids_prev]
-        for d in range(2, K + 1):
-            ids_d = np.zeros((F, L), dtype=np.int32)
-            ids_d[:, d - 1 :] = (
-                (c32[:, : L - d + 1] - 1) * (NLET ** (d - 1))
-                + ids_prev[:, d - 1 :]
-            )
-            id_by_depth.append(ids_d)
-            depth += (dv >= d) & ne[d - 1][ids_d]
-            ids_prev = ids_d
-        depth = np.where(valid, depth, 0)
-
-        # one interval gather at the reached depth (grouped by depth)
-        si0 = np.zeros((F, L), dtype=np.int64)
-        si1 = np.zeros((F, L), dtype=np.int64)
-        for d in range(1, K + 1):
-            sel = depth == d
-            if not sel.any():
-                continue
-            t0, t1 = self.tables[d - 1]
-            idx = id_by_depth[d - 1][sel]
-            si0[sel] = t0[idx]
-            si1[sel] = t1[idx]
-        # depth 0 (letter absent from DB): the reference still counts a
-        # length-1 pseudo-match (InitialSI is not emptiness-checked,
-        # bwt.c:269-274) => i = j
-        i = np.where(depth > 0, jgrid - depth + 1, jgrid)
-        alive = valid & (depth == dv) & (depth > 0) & (i > 0)
-        return depth, i, si0, si1, alive, valid

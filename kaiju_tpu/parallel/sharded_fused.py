@@ -47,7 +47,6 @@ def make_sharded_mem_classify(
     T: int,
     R: int,
     cap: int,
-    pre: int,
 ):
     """Builds the jitted sharded classify step.
 
@@ -98,7 +97,7 @@ def make_sharded_mem_classify(
 
         ph = _search_phases(
             None, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
-            rec2=None, pre=pre, rank_pair=rank_pair, any_fn=_any_psum,
+            rec2=None, rank_pair=rank_pair, any_fn=_any_psum,
         )
         stats = _mem_stats(ph, min_len, T)
 
@@ -196,7 +195,6 @@ class ShardedMemClassifier:
 
     def __init__(self, index, taxonomy, config, mesh: Mesh, n_index: int):
         from ..engine.mem_fast import SEED_K, TIE_CAP
-        from ..ops.fused_mem2 import pre_steps_for
         from ..ops.kmer import KmerTables
 
         self.cfg = config
@@ -221,7 +219,6 @@ class ShardedMemClassifier:
             min_len=config.min_fragment_length,
             M2=65536, Ms=16384, T=self.T, R=self.R,
             cap=config.max_match_ids,
-            pre=pre_steps_for(index.length, self.seed_K),
         )
 
     def classify(self, per_shard_batches):
