@@ -242,7 +242,7 @@ class GreedyFastPipeline(SaResolveMixin):
             packed = np.asarray(
                 fused_greedy_map(
                     self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-                    self.dev.rec2, self._bloom_words, K, j0, Lmap, M2, Mout,
+                    None, self._bloom_words, K, j0, Lmap, M2, Mout,
                     Ms, self._bloom_m, self._bloom_lb, 4,
                 )
             )

@@ -180,7 +180,7 @@ class MemFastPipeline(SaResolveMixin):
         self._bloom_m = bl.m if bl else 0
         self._bloom_lb = bl.lb if bl else 0
         self._m2: dict[int, int] = {}  # phase-2 lane capacity per P bucket
-        self._ms = 32768  # survivor-lane capacity of the completion loops
+        self._ms = 16384  # survivor-lane capacity of the completion loops
         self._trans = trans_table(index.alphabet)
         if config.seg:
             from .seg_native import make_seg_filter
@@ -336,11 +336,11 @@ class MemFastPipeline(SaResolveMixin):
 
         # sticky per-P capacity: shape changes force executable reloads
         # over the tunnel, so only grow on overflow, never shrink
-        M2 = self._m2.setdefault(P, min(P // 4, 262144))
+        M2 = self._m2.setdefault(P, min(P // 8, 32768))
         Ms = self._ms
         out = fused_mem_search2(
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-            self.dev.rec2, self._bloom_words, self.seed_K, j0,
+            None, self._bloom_words, self.seed_K, j0,
             cfg.min_fragment_length, M2, TIE_CAP, Ms,
             self._bloom_m, self._bloom_lb, STRIP_W,
         )
@@ -371,7 +371,7 @@ class MemFastPipeline(SaResolveMixin):
             self._ms = Ms
             out = fused_mem_search2(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-                self.dev.rec2, self._bloom_words, self.seed_K, j0,
+                None, self._bloom_words, self.seed_K, j0,
                 cfg.min_fragment_length, M2, TIE_CAP, Ms,
                 self._bloom_m, self._bloom_lb, STRIP_W,
             )
@@ -490,13 +490,13 @@ class MemFastPipeline(SaResolveMixin):
             rf_rows[:B] = rf
         fallback = np.flatnonzero(oflow).tolist()
 
-        M2 = self._m2.setdefault(P, min(P // 4, 262144))
+        M2 = self._m2.setdefault(P, min(P // 8, 32768))
         Ms = self._ms
         args = (flat, frag_off, rf_rows)
         out = fused_mem_classify(
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
             rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
-            self._parent, self._depth, self.dev.rec2, self._bloom_words,
+            self._parent, self._depth, None, self._bloom_words,
             self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
             self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
             self.index.chpt_exp, self._bloom_m, self._bloom_lb, STRIP_W)
@@ -527,7 +527,7 @@ class MemFastPipeline(SaResolveMixin):
             out = fused_mem_classify(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
                 rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
-                self._parent, self._depth, self.dev.rec2, self._bloom_words,
+                self._parent, self._depth, None, self._bloom_words,
                 self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
                 self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
                 self.index.chpt_exp, self._bloom_m, self._bloom_lb, STRIP_W,

@@ -14,11 +14,11 @@ by ONE row gather per candidate end position:
           fragments resolved here never evaluate lower positions).
   remainder  screened positions of unresolved fragments only.
 
-Extensions run on survivor-compacted lane buffers with staged halving
-capacities (junk/false-positive lanes die within a few steps; keeping
-dead lanes out of the deep while-loop is worth ~2x), and every step
-costs ONE paired-record row gather (rec2[b] = rec[b] ++ rec[b+1]; a
-narrow SA interval's two ends live in adjacent blocks).
+Extensions run on survivor-compacted lane buffers descending a halving
+capacity ladder (TPU gathers are row-rate bound, so the gather bill
+tracks the live lane count instead of the static capacity), and every
+step costs ONE paired-record row gather (rec2[b] = rec[b] ++ rec[b+1];
+a narrow SA interval's two ends live in adjacent blocks).
 
 Per-fragment statistics are identical in semantics to the reference's
 greedyExact scan (ConsumerThread.cpp:543-628, bwt.c:347-380) via the
@@ -48,6 +48,26 @@ NLET = 20
 # ---------------------------------------------------------------------------
 # extension steps
 # ---------------------------------------------------------------------------
+
+
+def _step2(rec, C, flat_codes, base, st, rank_pair=None):
+    """One masked backward-extension step, branch-free: two unpaired
+    fused-record row gathers per lane (lax.cond branches copy their
+    operands on TPU and cost more than the extra gather).
+    st = (i, si0, si1, active)."""
+    i, a0, a1, act = st
+    cpos = jnp.where(act, base + i - 1, 0)
+    c = flat_codes[cpos].astype(jnp.int32)
+    if rank_pair is not None:
+        n0, n1 = rank_pair(c, a0, a1)
+    else:
+        n0 = rank_fused(rec, C, c, a0)
+        n1 = rank_fused(rec, C, c, a1)
+    ok = act & (n0 < n1)
+    a0 = jnp.where(ok, n0, a0)
+    a1 = jnp.where(ok, n1, a1)
+    i = jnp.where(ok, i - 1, i)
+    return i, a0, a1, ok & (i > 0)
 
 
 def _paired_step(rec2, C, flat_codes, base, st, rank_pair=None):
@@ -89,28 +109,11 @@ def _paired_step(rec2, C, flat_codes, base, st, rank_pair=None):
     return i, a0, a1, ok & (i > 0)
 
 
-def _bounded_extend(rec2, C, flat_codes, base, st, max_iters, rank_pair,
-                    any_fn):
-    """Up to max_iters paired steps with early exit when all lanes die."""
-    anyf = any_fn or jnp.any
-
-    def cond(s):
-        cnt, st = s
-        return (cnt < max_iters) & anyf(st[3])
-
-    def body(s):
-        cnt, st = s
-        return cnt + 1, _paired_step(rec2, C, flat_codes, base, st, rank_pair)
-
-    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
-    return st
-
-
-def _full_extend(rec2, C, flat_codes, base, st, rank_pair, any_fn):
+def _full_extend(rec, C, flat_codes, base, st, rank_pair, any_fn):
     anyf = any_fn or jnp.any
     i, s0, s1, _ = jax.lax.while_loop(
         lambda st: anyf(st[3]),
-        lambda st: _paired_step(rec2, C, flat_codes, base, st, rank_pair),
+        lambda st: _step2(rec, C, flat_codes, base, st, rank_pair),
         st,
     )
     return i, s0, s1
@@ -120,34 +123,45 @@ def _extend_paired(rec2, C, flat_codes, base, i, s0, s1, act):
     """Backward-extend flat lanes to completion with paired-row gathers
     (used by the Greedy co-simulation's resumed extensions,
     kaiju_tpu.ops.device_index.extend_from_rec)."""
-    return _full_extend(rec2, C, flat_codes, base, (i, s0, s1, act), None,
-                        None)
+    i, s0, s1, _ = jax.lax.while_loop(
+        lambda st: jnp.any(st[3]),
+        lambda st: _paired_step(rec2, C, flat_codes, base, st),
+        (i, s0, s1, act),
+    )
+    return i, s0, s1
 
 
 # ---------------------------------------------------------------------------
-# seeded, survivor-compacted extension of a sparse lane set
+# seeded, ladder-descent extension of a sparse lane set
 # ---------------------------------------------------------------------------
 
-STAGES = 3
-STAGE_LEN = 16
+LADDER_FLOOR = 2048  # smallest worklist rung
 
 
-def _staged_extend(rec2, C, seed_rec, flat_codes, frag_off, kid,
+def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
                    lane_pos, lane_fid, lane_j, act, K, cap0,
-                   rank_pair=None, any_fn=None):
+                   rank_pair=None, any_fn=None, count_fn=None):
     """Evaluate the maximal backward extension ending at each active lane.
 
     lane_pos: flat end positions [N]; lane_fid/lane_j: fragment id and
     local end position per lane; act: lanes to evaluate.  Lanes compact
-    into a [cap0] buffer, seed from the K-mer table, then extend with
-    staged halving capacities (STAGES stages of STAGE_LEN steps, then an
-    unbounded tail) so long-running real matches don't drag dead lanes
-    through the deep loop.
+    into a [cap0] buffer, seed from the K-mer table, then descend a
+    halving capacity ladder: at each rung the worklist extends only
+    until the live count fits the next rung, then survivors compact
+    down.  TPU gathers are row-rate bound, so the gather bill tracks the
+    LIVE lane count (<= 2x true work) instead of the static capacity;
+    rungs whose live count already fits the next capacity cost zero
+    extension steps.  Everything is branch-free: lax.cond copies its
+    operands on TPU, which costs more than an idle while_loop.
 
-    Returns (i, s0, s1) per input lane — inactive lanes get
-    (lane_j + 1, 0, 0), i.e. a length-0 result — plus `need`, the buffer
-    capacity that would have sufficed (> cap0 means retry bigger).
+    Returns (i, s0, s1) per input lane -- inactive lanes get
+    (lane_j + 1, 0, 0), i.e. a length-0 result -- plus `need`, the
+    buffer capacity that would have sufficed (> cap0 means retry
+    bigger; the ladder itself never drops lanes), and `bill`, a
+    diagnostic: the sum of rung size over extension steps.
     """
+    anyf = any_fn or jnp.any
+    countf = count_fn or (lambda x: jnp.sum(x, dtype=jnp.int32))
     N = lane_pos.shape[0]
     n_act = jnp.sum(act, dtype=jnp.int32)
     slot = jnp.cumsum(act, dtype=jnp.int32) - 1
@@ -157,22 +171,21 @@ def _staged_extend(rec2, C, seed_rec, flat_codes, frag_off, kid,
         out = jnp.full((cap0 + 1,), fill, dtype=vals.dtype)
         return out.at[slot].set(vals, mode="drop")[:cap0]
 
-    cpos = comp0(lane_pos, jnp.int32(0))
-    cfid = comp0(lane_fid, jnp.int32(0))
-    cjl = comp0(lane_j, jnp.int32(0))
     cact = comp0(act, False)
+    ckid = comp0(jnp.where(act, kid[lane_pos], 0), jnp.int32(0))
+    cjl = comp0(lane_j, jnp.int32(0))
+    cbase = comp0(frag_off[lane_fid], jnp.int32(0))
     corig = comp0(
         jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0], jnp.int32(N)
     )
 
     # seed: one K-mer record gather per surviving lane
-    srow = seed_rec[jnp.where(cact, kid[cpos], 0)]
+    srow = seed_rec[jnp.where(cact, ckid, 0)]
     d = jnp.where(cact, srow[:, 2], 0)
     ci = jnp.where(d > 0, cjl - d + 1, cjl)
     cs0 = jnp.where(cact, srow[:, 0], 0)
     cs1 = jnp.where(cact, srow[:, 1], 0)
-    calive = cact & (d == K) & (ci > 0)
-    cbase = frag_off[cfid]
+    alive = cact & (d == K) & (ci > 0)
 
     # result accumulators (defaults: length-0 results)
     res_i = lane_j + 1
@@ -185,45 +198,56 @@ def _staged_extend(rec2, C, seed_rec, flat_codes, frag_off, kid,
             vals, mode="drop"
         )[:N]
 
-    need = n_act
-    st = (ci, cs0, cs1, calive)
-    cur_base, cur_orig, cur_act0 = cbase, corig, cact
-    cap = cap0
-    for t in range(STAGES):
-        st = _bounded_extend(rec2, C, flat_codes, cur_base, st, STAGE_LEN,
-                             rank_pair, any_fn)
-        i_t, s0_t, s1_t, alive_t = st
-        res_i = scatter(res_i, cur_orig, i_t, cur_act0)
-        res_s0 = scatter(res_s0, cur_orig, s0_t, cur_act0)
-        res_s1 = scatter(res_s1, cur_orig, s1_t, cur_act0)
-        # compact still-running lanes into the next (halved) capacity
-        cap2 = cap // 2
-        n_alive = jnp.sum(alive_t, dtype=jnp.int32)
-        need = jnp.maximum(need, n_alive * (cap0 // cap2))
-        slot2 = jnp.cumsum(alive_t, dtype=jnp.int32) - 1
-        slot2 = jnp.where(alive_t & (slot2 < cap2), slot2, cap2)
+    floor = min(cap0, LADDER_FLOOR)
+    caps = []
+    c = cap0
+    while c > floor:
+        caps.append(c)
+        c //= 2
+    caps.append(floor)
 
-        def comp2(vals, fill, slot2=slot2, cap2=cap2):
-            out = jnp.full((cap2 + 1,), fill, dtype=vals.dtype)
-            return out.at[slot2].set(vals, mode="drop")[:cap2]
+    bill = jnp.int32(0)  # gather-step bill: sum of rung size per step
+    entry = cact  # first rung scatters seed-killed lanes too
+    for cap in caps:
+        is_last = cap == floor
 
-        st = (
-            comp2(i_t, jnp.int32(0)),
-            comp2(s0_t, jnp.int32(0)),
-            comp2(s1_t, jnp.int32(0)),
-            comp2(alive_t, False),
+        def cond(st, cap=cap, is_last=is_last):
+            a = st[1][3]
+            if is_last:
+                return anyf(a)
+            return anyf(a) & (countf(a) > cap // 2)
+
+        def body(st, cap=cap, cbase=cbase):
+            b, inner = st
+            return (b + cap,
+                    _step2(rec, C, flat_codes, cbase, inner, rank_pair))
+
+        bill, (ci, cs0, cs1, alive) = jax.lax.while_loop(
+            cond, body, (bill, (ci, cs0, cs1, alive))
         )
-        cur_base = comp2(cur_base, jnp.int32(0))
-        cur_orig = comp2(cur_orig, jnp.int32(N))
-        cur_act0 = st[3]
-        cap = cap2
+        res_i = scatter(res_i, corig, ci, entry)
+        res_s0 = scatter(res_s0, corig, cs0, entry)
+        res_s1 = scatter(res_s1, corig, cs1, entry)
+        if is_last:
+            break
+        # compact live lanes (now guaranteed <= cap//2) down a rung
+        cap_next = cap // 2
+        slot2 = jnp.cumsum(alive, dtype=jnp.int32) - 1
+        slot2 = jnp.where(alive & (slot2 < cap_next), slot2, cap_next)
 
-    i_f, s0_f, s1_f = _full_extend(rec2, C, flat_codes, cur_base, st,
-                                   rank_pair, any_fn)
-    res_i = scatter(res_i, cur_orig, i_f, cur_act0)
-    res_s0 = scatter(res_s0, cur_orig, s0_f, cur_act0)
-    res_s1 = scatter(res_s1, cur_orig, s1_f, cur_act0)
-    return res_i, res_s0, res_s1, need
+        def comp2(vals, fill, slot2=slot2, cap_next=cap_next):
+            out = jnp.full((cap_next + 1,), fill, dtype=vals.dtype)
+            return out.at[slot2].set(vals, mode="drop")[:cap_next]
+
+        ci = comp2(ci, jnp.int32(0))
+        cs0 = comp2(cs0, jnp.int32(0))
+        cs1 = comp2(cs1, jnp.int32(0))
+        cbase = comp2(cbase, jnp.int32(0))
+        corig = comp2(corig, jnp.int32(N))
+        alive = comp2(alive, False)
+        entry = alive
+
+    return res_i, res_s0, res_s1, n_act, bill
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +257,7 @@ def _staged_extend(rec2, C, seed_rec, flat_codes, frag_off, kid,
 
 def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
                    rec2=None, bloom_words=None, m=0, lb=0, W=4,
-                   rank_pair=None, any_fn=None):
+                   rank_pair=None, any_fn=None, count_fn=None):
     """Screen + strip + remainder over the flat fragment layout.
 
     bloom_words/m/lb: the m-mer presence bitmap (None/0 = no screening —
@@ -290,10 +314,10 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     sp = strip_pos.reshape(-1)
     act1 = (strip_valid.reshape(-1)) & screened[sp]
     fgrid = jax.lax.broadcasted_iota(jnp.int32, (F, W), 0)
-    i1, s01, s11, need1 = _staged_extend(
-        rec2 if rec2 is not None else rec, C, seed_rec, flat_codes,
+    i1, s01, s11, need1, bill1 = _staged_extend(
+        rec, C, seed_rec, flat_codes,
         frag_off, kid, sp, fgrid.reshape(-1), strip_j.reshape(-1), act1,
-        K, Ms, rank_pair=rank_pair, any_fn=any_fn,
+        K, Ms, rank_pair=rank_pair, any_fn=any_fn, count_fn=count_fn,
     )
     i1g = i1.reshape(F, W)
     s01g = s01.reshape(F, W)
@@ -322,10 +346,10 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     v2 = compact(need2_mask, False)
     fid2 = compact(fid, jnp.int32(0))
     j2 = compact(j_local, jnp.int32(0))
-    i2, s02, s12, need2x = _staged_extend(
-        rec2 if rec2 is not None else rec, C, seed_rec, flat_codes,
+    i2, s02, s12, need2x, bill2 = _staged_extend(
+        rec, C, seed_rec, flat_codes,
         frag_off, kid, pos2, fid2, j2, v2, K, M2,
-        rank_pair=rank_pair, any_fn=any_fn,
+        rank_pair=rank_pair, any_fn=any_fn, count_fn=count_fn,
     )
     len2 = j2 - i2 + 1
 
@@ -344,7 +368,7 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
         i1g=i1g, s01g=s01g, s11g=s11g, len1=len1,
         pos2=pos2, v2=v2, fid2=fid2, j2=j2, i2=i2, s02=s02, s12=s12,
         len2=len2, jstop=jstop, seg_max=seg_max,
-        n2=n2, nsurv=need1,
+        n2=n2, nsurv=need1, bill1=bill1, bill2=bill2,
     )
 
 
@@ -438,6 +462,8 @@ def fused_mem_search2(
     )
     scal = jnp.zeros((1, 2 + 3 * T), jnp.int32)
     scal = scal.at[0, 0].set(ph["n2"]).at[0, 1].set(ph["nsurv"])
+    if 2 + 3 * T >= 4:  # gather-bill diagnostics (strip, phase-2)
+        scal = scal.at[0, 2].set(ph["bill1"]).at[0, 3].set(ph["bill2"])
     return jnp.concatenate([out, scal], axis=0)
 
 
