@@ -26,6 +26,7 @@ def build_library(force: bool = False) -> str:
     so = os.path.join(d, _LIB_NAME)
     srcs = [
         os.path.join(d, "sais.cpp"),
+        os.path.join(d, "bigsais.cpp"),
         os.path.join(d, "seg.cpp"),
         os.path.join(d, "fragments.cpp"),
         os.path.join(d, "fragments2.cpp"),
@@ -84,6 +85,21 @@ def get_lib():
             lib.kt_bloom_fill.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_void_p,
+            ]
+            lib.kt_build_bwt_big.restype = ctypes.c_int
+            lib.kt_build_bwt_big.argtypes = [
+                ctypes.c_void_p,  # text (0-separated)
+                ctypes.c_void_p,  # tstart int64[nseq+1]
+                ctypes.c_int64,   # nseq
+                ctypes.c_int64,   # N
+                ctypes.c_int32,   # alen
+                ctypes.c_int32,   # chpt_exp
+                ctypes.c_int32,   # n_threads
+                ctypes.c_void_p,  # bwt out
+                ctypes.c_void_p,  # content_rank out
+                ctypes.c_void_p,  # sa_seq out (int32)
+                ctypes.c_void_p,  # sa_off out (int64)
+                ctypes.c_int64,   # n_samples
             ]
             lib.kt_build_bwt.argtypes = [
                 ctypes.c_void_p,  # codes

@@ -152,3 +152,37 @@ def test_native_builder_matches_reference_fmi(db_env):
     np.testing.assert_array_equal(mine.sa_seq[:n], ref.sa_seq[:n])
     np.testing.assert_array_equal(mine.sa_off[:n], ref.sa_off[:n])
     assert mine.names == ref.names
+
+
+def test_big_builder_matches_sais_builder():
+    """Bucketed threaded builder (kt_build_bwt_big) vs SA-IS, including
+    homopolymer runs (the run-leap path) and terminator edge cases."""
+    from kaiju_tpu.index import native_builder
+    from kaiju_tpu.index.py_builder import translate_db_sequence
+
+    for seed, nseq in [(71, 8), (72, 40), (73, 64)]:
+        rng = random.Random(seed)
+        records = make_db_records(rng, nseq=nseq)
+        # adversarial extras: long runs with tails below/above the run
+        # letter, run-final sequences, single-letter sequences
+        records += [
+            ("X1_101", "K" * 300 + "A"),
+            ("X2_102", "K" * 250 + "Y"),
+            ("X3_103", "A" * 400),
+            ("X4_104", "C"),
+            ("X5_105", "AC" * 120),
+        ]
+        names = [n for n, _ in records]
+        seqs = [
+            translate_db_sequence(s, MAKEDB_ALPHABET) for _, s in records
+        ]
+        a = native_builder.build_index_from_codes(names, seqs, builder="sais")
+        b = native_builder.build_index_from_codes(
+            names, seqs, builder="big", n_threads=2
+        )
+        np.testing.assert_array_equal(a.bwt, b.bwt)
+        np.testing.assert_array_equal(a.C, b.C)
+        np.testing.assert_array_equal(a.sa_seq, b.sa_seq)
+        np.testing.assert_array_equal(a.sa_off, b.sa_off)
+        assert a.names == b.names
+        np.testing.assert_array_equal(a.seq_term_order, b.seq_term_order)
