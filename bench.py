@@ -126,8 +126,10 @@ def run_mine(index, nodes, reads, mode="mem"):
             source_fasta=fasta,
         )
     else:
+        from kaiju_tpu.engine.greedy_device import GreedyDevicePipeline
+
         cfg = KaijuConfig(mode="greedy")  # reference defaults: e=3 s=65 E=0.01
-        pipe = GreedyFastPipeline(
+        pipe = GreedyDevicePipeline(
             index, tax, cfg, kmer_cache_dir=os.path.join(CACHE, "db.ktx"),
             source_fasta=fasta,
         )

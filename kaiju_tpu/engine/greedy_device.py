@@ -1,0 +1,272 @@
+"""Greedy-mode batch pipeline: ONE fused device call per batch.
+
+The search, variant fan-out, tie collection, SA resolution and LCA all
+run on device (kaiju_tpu.ops.fused_greedy); the host fragments reads
+(native), applies the float64 E-value gate (reference:
+ConsumerThread.cpp:500-513) and replays the rare flagged reads (tie or
+budget overflow, slot-table overflow, >=512-aa fragments) through the
+exact host machinery (kaiju_tpu.engine.greedy_fast.GreedyFastPipeline).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from ..constants import (
+    AA_TO_INT,
+    BLOSUM62,
+    BLOSUM62_DIAG,
+    BLOSUM_SUBST,
+    LAMBDA,
+    LN_2,
+    LN_K,
+)
+from ..index.alphabet import trans_table
+from ..index.core import KaijuIndex
+from ..io.taxonomy import Taxonomy
+from ..ops import device_index as dev
+from ..ops.fused_greedy import (
+    FLAG_NEED_MORE,
+    FLAG_TIE_OVER,
+    fused_greedy_classify,
+)
+from ..ops.kmer import KmerTables
+from .config import KaijuConfig
+from .core import ClassifyResult
+from .fragments_native import NativeFragmenter2
+from .mem_fast import SEED_K
+
+QLCAP = 512  # fragments >= this many aa replay on host (group-rule cap)
+
+
+class GreedyDevicePipeline:
+    def __init__(
+        self,
+        index: KaijuIndex,
+        taxonomy: Taxonomy,
+        config: KaijuConfig,
+        device_index: Optional[dev.DeviceIndex] = None,
+        kmer_tables: Optional[KmerTables] = None,
+        kmer_cache_dir: Optional[str] = None,
+        source_fasta: Optional[str] = None,
+    ):
+        assert config.mode == "greedy" and not config.taxonomy_free
+        assert taxonomy is not None and not config.verbose
+        import jax
+
+        from ..utils import enable_compile_cache
+
+        enable_compile_cache()
+        self.cfg = config
+        self.index = index
+        self.tax = taxonomy
+        self.dev = device_index or dev.DeviceIndex(index)
+        want_K = min(SEED_K, config.seed_length)
+        self.kmer = kmer_tables or KmerTables.load_or_build(
+            index, kmer_cache_dir, K=want_K, device_index=self.dev
+        )
+        self.seed_K = min(want_K, self.kmer.K)
+        self._seed_rec = jax.device_put(self.kmer.packed_seed_rec(self.seed_K))
+        from ..ops.bloom import BloomScreen
+
+        self._lmap = min(config.seed_length, config.min_fragment_length)
+        bl = BloomScreen.load_or_build(
+            index, kmer_cache_dir or index.source_dir, self._lmap,
+            fasta=source_fasta,
+        )
+        self._bloom_words = bl.words if bl else None
+        self._bloom_m = bl.m if bl else 0
+        self._bloom_lb = bl.lb if bl else 0
+        self._trans = trans_table(index.alphabet)
+        self._fragmenter2 = NativeFragmenter2(
+            "greedy", config.min_fragment_length, config.min_score,
+            config.seg, config.input_is_protein,
+        )
+        par, dep = taxonomy.dense_arrays()
+        self._parent = jax.device_put(par)
+        self._depth = jax.device_put(dep)
+        self._seq_tax = jax.device_put(
+            np.asarray(index.seq_taxids, dtype=np.int32)
+        )
+        # scoring tables indexed by LETTER CODE (index alphabet)
+        alpha = index.alphabet
+        diag = np.zeros(32, dtype=np.int32)
+        submat = np.zeros((32, 19), dtype=np.int32)
+        subcode = np.zeros((32, 19), dtype=np.int32)
+        subdiag = np.zeros((32, 19), dtype=np.int32)
+        for code, ch in enumerate(alpha):
+            if ch not in AA_TO_INT:
+                continue
+            oi = AA_TO_INT[ch]
+            diag[code] = int(BLOSUM62_DIAG[oi])
+            for s, sub in enumerate(BLOSUM_SUBST[ch]):
+                bi = AA_TO_INT[sub]
+                submat[code, s] = int(BLOSUM62[oi, bi])
+                subcode[code, s] = int(self._trans[ord(sub)])
+                subdiag[code, s] = int(BLOSUM62_DIAG[bi])
+        self._diag_tab = jax.device_put(diag)
+        self._submat = jax.device_put(submat)
+        self._subcode_tab = jax.device_put(subcode)
+        self._subdiag_tab = jax.device_put(subdiag)
+        # sticky capacities (grow on overflow, never shrink: shape changes
+        # force executable reloads over the tunnel)
+        self._m2: dict[int, int] = {}
+        self._ms = 16384
+        self._mn = 32768
+        self._mv = 65536
+        self._mt = 16384
+        self._host: Optional[object] = None  # lazy exact-replay pipeline
+
+    S_SLOTS = 16
+    R_BUDGET = 32
+
+    @staticmethod
+    def _bucket(n: int, lo: int) -> int:
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    def _host_pipe(self):
+        if self._host is None:
+            from .greedy_fast import GreedyFastPipeline
+
+            self._host = GreedyFastPipeline(
+                self.index, self.tax, self.cfg, device_index=self.dev,
+                kmer_tables=self.kmer,
+                kmer_cache_dir=self.index.source_dir,
+            )
+            # share the bloom screen (avoid a rebuild)
+            self._host._bloom_words = self._bloom_words
+            self._host._bloom_m = self._bloom_m
+            self._host._bloom_lb = self._bloom_lb
+        return self._host
+
+    # ------------------------------------------------------------------
+
+    def _dispatch(self, flat, frag_off, frag_rid, B, M2, Ms):
+        cfg = self.cfg
+        return fused_greedy_classify(
+            self.dev.rec, self.dev.C, self.dev.rec2, self._seed_rec,
+            self._bloom_words, self.dev.sa_seq, self.dev.sa_off,
+            self._seq_tax, self._parent, self._depth,
+            flat, frag_off, frag_rid,
+            self._diag_tab, self._submat, self._subcode_tab,
+            self._subdiag_tab,
+            B, self.seed_K, self._lmap - 1, self._lmap,
+            cfg.min_fragment_length, cfg.min_score, cfg.mismatches,
+            M2, Ms, self._mn, self._mv, self._mt,
+            cfg.max_matches_SI, self.R_BUDGET, cfg.max_match_ids,
+            self.index.nseq, self.index.chpt_exp,
+            self._bloom_m, self._bloom_lb, 4,
+        )
+
+    def submit_batch(self, reads):
+        B = len(reads)
+        S = self.S_SLOTS
+        flat, chars, frag_off, n_frags, _keys, rf, oflow = (
+            self._fragmenter2.run(reads, S, self._bucket)
+        )
+        P = flat.shape[0]
+        Bp = self._bucket(B, 512)
+        F = frag_off.shape[0] - 1
+        # read id per fragment row (pad = Bp); rows only reachable via rf
+        frag_rid = np.full(F, Bp, dtype=np.int32)
+        rows = rf[rf >= 0]
+        rids = np.broadcast_to(
+            np.arange(B, dtype=np.int32)[:, None], rf.shape
+        )[rf >= 0]
+        frag_rid[rows] = rids
+        # host-replay guards: slot overflow, over-long fragments (the
+        # on-device group rule clamps lengths at QLCAP)
+        flens = np.diff(frag_off)
+        long_rows = np.flatnonzero(flens >= QLCAP)
+        fallback = set(np.flatnonzero(oflow).tolist())
+        for fr_ in long_rows:
+            if frag_rid[fr_] < B:
+                fallback.add(int(frag_rid[fr_]))
+
+        M2 = self._m2.setdefault(P, min(P // 8, 32768))
+        Ms = self._ms
+        out = self._dispatch(flat, frag_off, frag_rid, Bp, M2, Ms)
+        return (reads, sorted(fallback), (flat, frag_off, frag_rid, Bp),
+                M2, Ms, out)
+
+    def collect_batch(self, state):
+        cfg = self.cfg
+        reads, fallback, args, M2, Ms, out = state
+        flat, frag_off, frag_rid, Bp = args
+        P = flat.shape[0]
+        B = len(reads)
+        while True:
+            packed = np.asarray(out)
+            n2, n_surv, n_nodes, max_nv, n_ties = (
+                int(x) for x in packed[Bp, :5]
+            )
+            if (n2 <= M2 and n_surv <= Ms and n_nodes <= self._mn
+                    and max_nv <= self._mv and n_ties <= self._mt):
+                break
+            M2 = min(self._bucket(max(M2, n2), 4096), self._bucket(P, 4096))
+            Ms = self._bucket(max(Ms, n_surv), 4096)
+            self._m2[P] = M2
+            self._ms = Ms
+            self._mn = self._bucket(max(self._mn, n_nodes), 4096)
+            self._mv = self._bucket(max(self._mv, max_nv), 4096)
+            self._mt = self._bucket(max(self._mt, n_ties), 4096)
+            out = self._dispatch(flat, frag_off, frag_rid, Bp, M2, Ms)
+
+        flagged = set(fallback)
+        for r in range(B):
+            if packed[r, 2] & (FLAG_TIE_OVER | FLAG_NEED_MORE):
+                flagged.add(r)
+        redo = {}
+        if flagged:
+            sub = [reads[r] for r in sorted(flagged)]
+            for rr, (_name, res) in zip(
+                sorted(flagged), self._host_pipe().classify_batch(sub)
+            ):
+                redo[rr] = res
+
+        results = []
+        for r, (name, s1, s2) in enumerate(reads):
+            if r in redo:
+                results.append((name, redo[r]))
+                continue
+            lca, best, _flags, n_ids = (int(x) for x in packed[r, :4])
+            if best <= 0 or n_ids == 0:
+                results.append((name, ClassifyResult(False, 0)))
+                continue
+            if cfg.use_Evalue:
+                qlen = (
+                    float(len(s1)) if cfg.input_is_protein
+                    else len(s1) / 3.0 + (len(s2) / 3.0 if s2 else 0.0)
+                )
+                bitscore = (LAMBDA * best - LN_K) / LN_2
+                evalue = (
+                    float(self.index.db_length) * qlen
+                    * math.pow(2.0, -bitscore)
+                )
+                if evalue > cfg.min_Evalue:
+                    results.append((name, ClassifyResult(False, 0)))
+                    continue
+            results.append(
+                (name, ClassifyResult(lca > 0, lca, score=best))
+            )
+        return results
+
+    def classify_batch(self, reads):
+        return self.collect_batch(self.submit_batch(reads))
+
+    def classify_stream(self, batches, depth: int = 3):
+        from collections import deque
+
+        q: deque = deque()
+        for batch in batches:
+            q.append(self.submit_batch(batch))
+            if len(q) > depth:
+                yield self.collect_batch(q.popleft())
+        while q:
+            yield self.collect_batch(q.popleft())

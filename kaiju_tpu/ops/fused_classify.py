@@ -128,33 +128,16 @@ def _sa_walk_local(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf):
     return iseq
 
 
-def classify_tail(stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
-                  nseq, chpt_exp, any_fn=None):
-    """Per-read classification from per-fragment MEM statistics: longest
-    reduction, tie-range expansion, SA walks (via walk_fn), capped
-    unique-id semantics and LCA.  Returns (lca, longest, flags, n_ids),
-    each int32 [B]."""
+def ranges_lca(t_s0, t_s1, contrib, walk_fn, seq_tax, parent, depth, R, cap,
+               nseq, chpt_exp, any_fn=None):
+    """Shared classification tail: expand the per-read candidate SA
+    ranges ([B, G] with a contrib mask) into the first R positions,
+    resolve each via an SA walk, apply the reference's capped unique-id
+    semantics (ConsumerThread.cpp:799-845) and the LCA climb
+    (util.cpp:194-263).  Returns (lca, n_ids, need_more, total)."""
     anyf = any_fn or jnp.any
-    maxl, tie_cnt, tie_j, tie_s0, tie_s1 = stats
-    F = maxl.shape[0]
-    B, S = rf_rows.shape
-
-    # ---- per-read longest + contributing slots ------------------------
-    rf = jnp.where(rf_rows >= 0, rf_rows, F)
-    maxl_p = jnp.concatenate([maxl, jnp.zeros(1, jnp.int32)])
-    slot_maxl = maxl_p[rf]  # [B, S]
-    longest = jnp.max(slot_maxl, axis=1)
-    contrib = (rf_rows >= 0) & (slot_maxl == longest[:, None]) & (
-        longest[:, None] > 0
-    )
-
-    # ---- expand tie ranges into the first R positions -----------------
-    zrow = jnp.zeros((1, T), jnp.int32)
-    t_s0 = jnp.concatenate([tie_s0, zrow])[rf]  # [B, S, T]
-    t_s1 = jnp.concatenate([tie_s1, zrow])[rf]
-    t_cnt = jnp.concatenate([tie_cnt, jnp.zeros(1, jnp.int32)])[rf]
-    tie_over = jnp.any(contrib & (t_cnt > T), axis=1)
-    sizes = jnp.where(contrib[:, :, None], t_s1 - t_s0, 0).reshape(B, S * T)
+    B, G = t_s0.shape
+    sizes = jnp.where(contrib, t_s1 - t_s0, 0)
     csum = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(sizes, axis=1)], axis=1
     )
@@ -169,21 +152,45 @@ def classify_tail(stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
         )
         - 1
     )
-    seg = jnp.clip(seg, 0, S * T - 1)
+    seg = jnp.clip(seg, 0, G - 1)
     valid_pos = rr < jnp.minimum(total, R)[:, None]
     # flat 1-D gathers (per-row take_along_axis is a slow lane-crossing
     # select on TPU)
     brow = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
-    base = t_s0.reshape(-1)[(brow * (S * T) + seg).reshape(-1)].reshape(B, R)
+    base = t_s0.reshape(-1)[(brow * G + seg).reshape(-1)].reshape(B, R)
     cs_at = csum.reshape(-1)[
-        (brow * (S * T + 1) + seg).reshape(-1)
+        (brow * (G + 1) + seg).reshape(-1)
     ].reshape(B, R)
     off = rr - cs_at
-    k0 = jnp.where(valid_pos, base + off, ((nseq >> chpt_exp) + 1) << chpt_exp)
-    iseq = walk_fn(k0.reshape(-1))
+    pad_k = ((nseq >> chpt_exp) + 1) << chpt_exp
+    k0 = jnp.where(valid_pos, base + off, pad_k)
+    # compact the real positions before the walk: most (read, r) lanes
+    # are pads, and walk cost is gather-rate-bound per LANE per step
+    NR = B * R
+    vflat = valid_pos.reshape(-1)
+    kflat = k0.reshape(-1)
+    slot = jnp.cumsum(vflat, dtype=jnp.int32) - 1
+    n_walk = jnp.sum(vflat, dtype=jnp.int32)
+    # capacity: half the full lane count (power of two for stable shapes);
+    # overflow falls back to walking everything unpacked
+    Mk = max(NR // 4, 128)
+    kc = jnp.full((Mk + 1,), pad_k, jnp.int32).at[
+        jnp.where(vflat & (slot < Mk), slot, Mk)
+    ].set(kflat, mode="drop")[:Mk]
+    fits = n_walk <= Mk
+    kc = jnp.where(fits, kc, pad_k)
+    iseq_c = walk_fn(kc)
+    iseq_full = walk_fn(jnp.where(fits, pad_k, kflat))
+    iseq = jnp.where(
+        fits,
+        jnp.concatenate([iseq_c, iseq_c[:1]])[
+            jnp.where(vflat, jnp.minimum(slot, Mk), Mk)
+        ],
+        iseq_full,
+    )
 
     tax = jnp.where(
-        valid_pos.reshape(-1),
+        vflat,
         seq_tax[jnp.clip(iseq, 0, seq_tax.shape[0] - 1)],
         -1,
     ).reshape(B, R)
@@ -246,8 +253,40 @@ def classify_tail(stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
     first_uid_idx = jnp.argmax(included, axis=1)
     first_uid = tax.reshape(-1)[barange * R + first_uid_idx]
     lca = jnp.where(n_ids == 1, first_uid, lca_climb)
-    lca = jnp.where((longest > 0) & (n_ids > 0), lca, 0)
+    lca = jnp.where(n_ids > 0, lca, 0)
+    return lca, n_ids, need_more, total
 
+
+def classify_tail(stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
+                  nseq, chpt_exp, any_fn=None):
+    """Per-read MEM classification from per-fragment statistics: longest
+    reduction, tie-range expansion, then the shared ranges_lca tail.
+    Returns (lca, longest, flags, n_ids), each int32 [B]."""
+    maxl, tie_cnt, tie_j, tie_s0, tie_s1 = stats
+    F = maxl.shape[0]
+    B, S = rf_rows.shape
+
+    # ---- per-read longest + contributing slots ------------------------
+    rf = jnp.where(rf_rows >= 0, rf_rows, F)
+    maxl_p = jnp.concatenate([maxl, jnp.zeros(1, jnp.int32)])
+    slot_maxl = maxl_p[rf]  # [B, S]
+    longest = jnp.max(slot_maxl, axis=1)
+    contrib = (rf_rows >= 0) & (slot_maxl == longest[:, None]) & (
+        longest[:, None] > 0
+    )
+
+    zrow = jnp.zeros((1, T), jnp.int32)
+    t_s0 = jnp.concatenate([tie_s0, zrow])[rf].reshape(B, S * T)
+    t_s1 = jnp.concatenate([tie_s1, zrow])[rf].reshape(B, S * T)
+    t_cnt = jnp.concatenate([tie_cnt, jnp.zeros(1, jnp.int32)])[rf]
+    tie_over = jnp.any(contrib & (t_cnt > T), axis=1)
+    contrib_g = jnp.repeat(contrib, T, axis=1)
+
+    lca, n_ids, need_more, _total = ranges_lca(
+        t_s0, t_s1, contrib_g, walk_fn, seq_tax, parent, depth, R, cap,
+        nseq, chpt_exp, any_fn=any_fn,
+    )
+    lca = jnp.where(longest > 0, lca, 0)
     flags = tie_over.astype(jnp.int32) * FLAG_TIE_OVER + (
         need_more.astype(jnp.int32) * FLAG_NEED_MORE
     )

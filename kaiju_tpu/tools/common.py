@@ -36,6 +36,14 @@ def make_runner(index, taxonomy, cfg: KaijuConfig):
 
         return MemFastPipeline(index, taxonomy, cfg, kmer_cache_dir=kmer_dir)
     if cfg.mode == "greedy" and not cfg.taxonomy_free:
+        if taxonomy is not None and not cfg.verbose:
+            # fully-fused device path; verbose output needs names and
+            # stays on the host-replay pipeline
+            from ..engine.greedy_device import GreedyDevicePipeline
+
+            return GreedyDevicePipeline(
+                index, taxonomy, cfg, kmer_cache_dir=kmer_dir
+            )
         from ..engine.greedy_fast import GreedyFastPipeline
 
         return GreedyFastPipeline(index, taxonomy, cfg, kmer_cache_dir=kmer_dir)
