@@ -172,7 +172,14 @@ def make_sharded_mem_classify(
             nseq, chpt_exp, any_fn=_any_psum,
         )
         out = jnp.stack([lca, longest, flags, n_ids], axis=1)
-        return out[None]
+        # trailing stats row: funnel overflow counters (identical on all
+        # index shards — every rank is psum-assembled before use), so the
+        # host can grow M2/Ms and retry exactly like the single-chip
+        # driver (engine/mem_fast._collect_tail)
+        stats_row = jnp.stack(
+            [ph["n2"], ph["nsurv"], jnp.int32(0), jnp.int32(0)]
+        )[None]
+        return jnp.concatenate([out, stats_row], axis=0)[None]
 
     fn = jax.shard_map(
         per_device,
@@ -213,17 +220,41 @@ class ShardedMemClassifier:
         self.T = TIE_CAP
         self.R = 32
         self.S = 16
-        self._fn = make_sharded_mem_classify(
-            mesh, self.sh,
-            K=self.seed_K, j0=config.min_fragment_length - 1,
-            min_len=config.min_fragment_length,
-            M2=65536, Ms=16384, T=self.T, R=self.R,
-            cap=config.max_match_ids,
-        )
+        # sticky funnel budgets: grow on overflow (shape change = new
+        # executable), never shrink
+        self._m2 = 65536
+        self._ms = 16384
+        self._fns: dict = {}
+        self._tax = taxonomy
+        self._host = None  # lazy single-device fallback for flagged reads
+
+    def _fn(self, M2, Ms):
+        key = (M2, Ms)
+        if key not in self._fns:
+            self._fns[key] = make_sharded_mem_classify(
+                self.mesh, self.sh,
+                K=self.seed_K, j0=self.cfg.min_fragment_length - 1,
+                min_len=self.cfg.min_fragment_length,
+                M2=M2, Ms=Ms, T=self.T, R=self.R,
+                cap=self.cfg.max_match_ids,
+            )
+        return self._fns[key]
+
+    @staticmethod
+    def _bucket(n, lo):
+        b = lo
+        while b < n:
+            b *= 2
+        return b
 
     def classify(self, per_shard_batches):
-        """per_shard_batches: list of n_data (flat, frag_off, rf_rows)."""
-        D = self.n_data
+        """per_shard_batches: list of n_data (flat, frag_off, rf_rows).
+
+        Returns int32 [D, B, 4] per read: (lca, longest, flags, n_ids).
+        Funnel-budget overflow (n2 > M2 or survivors > Ms) is handled
+        here — budgets grow and the batch reruns, mirroring the
+        single-chip retry (engine/mem_fast.py _collect_tail); FLAG_*
+        columns are the caller's contract (see classify_reads)."""
         flat = np.stack([b[0] for b in per_shard_batches])
         off = np.stack([b[1] for b in per_shard_batches])
         rf = np.stack([b[2] for b in per_shard_batches])
@@ -232,12 +263,111 @@ class ShardedMemClassifier:
             return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
         sh = self.sh
-        out = self._fn(
-            put(sh.blocks_sh, P("index")), put(sh.occ_local, P("index")),
-            put(sh.shard_base, P()), put(sh.C, P()),
-            put(sh.sa_seq_sh, P("index")), put(sh.sa_off_sh, P("index")),
-            put(self._seed_rec, P()), put(self._seq_tax, P()),
-            put(self._parent, P()), put(self._depth, P()),
-            put(flat, P("data")), put(off, P("data")), put(rf, P("data")),
+        while True:
+            out = np.asarray(self._fn(self._m2, self._ms)(
+                put(sh.blocks_sh, P("index")), put(sh.occ_local, P("index")),
+                put(sh.shard_base, P()), put(sh.C, P()),
+                put(sh.sa_seq_sh, P("index")), put(sh.sa_off_sh, P("index")),
+                put(self._seed_rec, P()), put(self._seq_tax, P()),
+                put(self._parent, P()), put(self._depth, P()),
+                put(flat, P("data")), put(off, P("data")), put(rf, P("data")),
+            ))
+            n2 = int(out[:, -1, 0].max())
+            n_surv = int(out[:, -1, 1].max())
+            if n2 <= self._m2 and n_surv <= self._ms:
+                return out[:, :-1, :]
+            P_ = int(flat.shape[1])
+            self._m2 = min(
+                self._bucket(max(self._m2, n2), 4096),
+                self._bucket(P_, 4096),
+            )
+            self._ms = self._bucket(max(self._ms, n_surv), 4096)
+
+    def classify_reads(self, reads):
+        """Read-level driver: fragments `reads`, spreads them across the
+        data axis, classifies on the mesh, and replays flagged reads
+        (tie overflow / SA budget / fragment-slot overflow) through the
+        exact single-device pipeline — the mesh analog of
+        engine/mem_fast.py's _collect_tail fallback."""
+        from ..engine.fragments_native import NativeFragmenter
+        from ..engine.mem_fast import MemFastPipeline
+        from ..index.alphabet import trans_table
+        from ..ops.fused_classify import FLAG_NEED_MORE, FLAG_TIE_OVER
+
+        cfg = self.cfg
+        D = self.n_data
+        per = -(-len(reads) // D)
+        pad = per * D - len(reads)
+        items = list(reads) + [("~pad", "", None)] * pad
+        frag = NativeFragmenter(
+            "mem", cfg.min_fragment_length, cfg.min_score, cfg.seg,
+            cfg.input_is_protein,
         )
-        return np.asarray(out)
+        trans = trans_table(self.index.alphabet)
+        shards = []
+        fallback = set()
+        flat_cap = 0
+        parts = []
+        for d in range(D):
+            sub = items[d * per : (d + 1) * per]
+            frags, orders = frag.run(sub)
+            enc = [
+                trans[np.frombuffer(f.encode(), np.uint8)] for f in frags
+            ]
+            parts.append((sub, enc, orders))
+            flat_cap = max(flat_cap, sum(len(e) for e in enc))
+        flat_cap = self._bucket(max(flat_cap, 1), 1024)
+        F_cap = self._bucket(
+            max(max(len(p[1]) for p in parts), 1), 128
+        )
+        for d, (sub, enc, orders) in enumerate(parts):
+            flat = np.zeros(flat_cap, np.uint8)
+            offs = np.zeros(F_cap + 1, np.int32)
+            pos = 0
+            for fi, e in enumerate(enc):
+                offs[fi] = pos
+                flat[pos : pos + len(e)] = e
+                pos += len(e)
+            offs[len(enc):] = pos
+            rf = np.full((per, self.S), -1, np.int32)
+            for r, o in enumerate(orders):
+                if len(o) > self.S:
+                    fallback.add(d * per + r)
+                rf[r, : len(o)] = o[: self.S]
+            shards.append((flat, offs, rf))
+        out = self.classify(shards)
+
+        for d in range(D):
+            for r in range(per):
+                g = d * per + r
+                if g < len(reads) and (
+                    int(out[d, r, 2]) & (FLAG_TIE_OVER | FLAG_NEED_MORE)
+                ):
+                    fallback.add(g)
+        redo = {}
+        fb = sorted(g for g in fallback if g < len(reads))
+        if fb:
+            if self._host is None:
+                self._host = MemFastPipeline(
+                    self.index, self._tax, cfg
+                )
+            sub = [reads[g] for g in fb]
+            for g, (_n, res) in zip(fb, self._host.classify_batch(sub)):
+                redo[g] = res
+
+        from ..engine.core import ClassifyResult
+
+        results = []
+        for g, (name, _s1, _s2) in enumerate(reads):
+            if g in redo:
+                results.append((name, redo[g]))
+                continue
+            d, r = divmod(g, per)
+            lca, score, _fl, n_ids = (int(x) for x in out[d, r])
+            if score == 0 or n_ids == 0:
+                results.append((name, ClassifyResult(False, 0)))
+            else:
+                results.append(
+                    (name, ClassifyResult(lca > 0, lca, score=score))
+                )
+        return results

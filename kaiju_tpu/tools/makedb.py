@@ -12,9 +12,10 @@ fungi, nr, nr_euk, rvdb — the same set and data sources as the reference
 (util/kaiju-makedb:133).
 
 The eukaryote include-list (-s nr_euk / refseq_nr) and the excluded-
-accession list are user-suppliable files (--taxon-list / --excluded); the
-defaults used by the reference are NCBI taxon ids of fungi and microbial
-eukaryotes and a curated list of known-contaminant accessions.
+accession list default to the curated files shipped in kaiju_tpu/data/
+(data parity with reference util/kaiju-taxonlistEuk.tsv and
+util/kaiju-excluded-accessions.txt; override with --taxon-list /
+--excluded).
 """
 
 from __future__ import annotations
@@ -38,8 +39,14 @@ ASSEMBLY = "https://ftp.ncbi.nlm.nih.gov/genomes/refseq/{group}/assembly_summary
 PROGENOMES = "https://progenomes.embl.de/data/repGenomes/progenomes3.proteins.representatives.fasta.bz2"
 RVDB = "https://rvdb-prot.pasteur.fr/files/U-RVDBv29.0-prot.fasta.xz"
 
-# default include lists (reference: kaiju-convertNR.cpp:103-108 and
-# util/kaiju-taxonlistEuk.tsv's scope: fungi + microbial eukaryotes)
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data")
+DEFAULT_EXCLUDED = os.path.join(DATA_DIR, "excluded-accessions.txt")
+DEFAULT_TAXONLIST = os.path.join(DATA_DIR, "taxonlistEuk.tsv")
+
+# fallback include list if the data file is absent (reference:
+# kaiju-convertNR.cpp:103-108 and util/kaiju-taxonlistEuk.tsv's scope:
+# fungi + microbial eukaryotes)
 EUK_TAXA = [
     4751,    # Fungi
     554915,  # Amoebozoa
@@ -196,6 +203,8 @@ def build_index(faa: str, prefix: str, sa_exp: int):
 
 
 def write_taxon_list(workdir: str) -> str:
+    if os.path.exists(DEFAULT_TAXONLIST):
+        return DEFAULT_TAXONLIST
     path = os.path.join(workdir, "taxonlist-euk.tsv")
     with open(path, "w") as fh:
         fh.write("2\n2157\n10239\n")
@@ -213,8 +222,12 @@ def main(argv=None):
     ap.add_argument("-t", dest="threads", type=int, default=5)
     ap.add_argument("--no-download", dest="download", action="store_false")
     ap.add_argument("--index-only", action="store_true")
-    ap.add_argument("--taxon-list", help="taxon include-list file override")
-    ap.add_argument("--excluded", help="excluded-accession list file")
+    ap.add_argument("--taxon-list",
+                    help="taxon include-list file (default: shipped "
+                    "data/taxonlistEuk.tsv)")
+    ap.add_argument("--excluded",
+                    help="excluded-accession list file (default: shipped "
+                    "data/excluded-accessions.txt)")
     ap.add_argument("-w", dest="workdir", default=".",
                     help="working directory")
     args = ap.parse_args(argv)
@@ -242,8 +255,12 @@ def main(argv=None):
                      "-g", os.path.join(dbdir, "prot.accession2taxid.gz"),
                      "-a", "-o", faa,
                      "-i", os.path.join(dbdir, "nr.gz")]
-            if args.excluded:
-                cargs += ["-e", args.excluded]
+            excluded = args.excluded or (
+                DEFAULT_EXCLUDED if os.path.exists(DEFAULT_EXCLUDED)
+                else None
+            )
+            if excluded:  # reference: util/kaiju-makedb:172,196
+                cargs += ["-e", excluded]
             if db == "nr_euk":
                 cargs += ["-l", args.taxon_list or write_taxon_list(w)]
             conv(cargs)

@@ -149,3 +149,45 @@ def test_sharded_fused_classify(env):
                 )
             else:
                 assert score == 0 or n_ids == 0, name
+
+
+def test_sharded_classify_reads_retry_and_fallback(env):
+    """classify_reads must (a) grow funnel budgets on overflow and rerun
+    (the retry loop starts at deliberately tiny M2/Ms here), and (b)
+    replay FLAG_* / slot-overflow reads through the exact host pipeline
+    so every read agrees with the single-device MemFastPipeline."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng, records, idx = env
+    from kaiju_tpu.engine.config import KaijuConfig
+    from kaiju_tpu.engine.mem_fast import MemFastPipeline
+    from kaiju_tpu.io.taxonomy import Taxonomy
+    from kaiju_tpu.parallel.sharded_fused import ShardedMemClassifier
+    from kaiju_tpu.parallel.sharded_index import make_mesh
+
+    from readgen import make_reads
+
+    nodes = {1: 1, 10: 1, 100: 10, 200: 10, 300: 10,
+             101: 100, 102: 100, 103: 100, 201: 200, 202: 200, 301: 300}
+    tax = Taxonomy(nodes)
+    cfg = KaijuConfig(mode="mem", seg=True, use_Evalue=False)
+    reads = [(n, s, None) for n, s in make_reads(rng, records, n=48)]
+
+    mesh = make_mesh(n_index_shards=2)
+    cls = ShardedMemClassifier(idx, tax, cfg, mesh, n_index=2)
+    # force the overflow-retry path: start with budgets far below any
+    # real batch's needs
+    cls._m2 = 8
+    cls._ms = 8
+    got = dict(cls.classify_reads(reads))
+    assert cls._m2 > 8 and cls._ms > 8  # the retry loop actually grew
+
+    pipe = MemFastPipeline(idx, tax, cfg)
+    want = dict(pipe.classify_batch(reads))
+    for name, res in want.items():
+        g = got[name]
+        assert (g.classified, g.lca, g.score) == (
+            res.classified, res.lca, res.score,
+        ), name
