@@ -69,7 +69,9 @@ class GreedyDevicePipeline:
             index, kmer_cache_dir, K=want_K, device_index=self.dev
         )
         self.seed_K = min(want_K, self.kmer.K)
-        self._seed_rec = jax.device_put(self.kmer.packed_seed_rec(self.seed_K))
+        self._seed_rec = tuple(
+            jax.device_put(a) for a in self.kmer.planar_seed(self.seed_K)
+        )
         from ..ops.bloom import BloomScreen
 
         self._lmap = min(config.seed_length, config.min_fragment_length)

@@ -169,7 +169,9 @@ class MemFastPipeline(SaResolveMixin):
         self.seed_K = min(want_K, self.kmer.K)
         import jax
 
-        self._seed_rec = jax.device_put(self.kmer.packed_seed_rec(self.seed_K))
+        self._seed_rec = tuple(
+            jax.device_put(a) for a in self.kmer.planar_seed(self.seed_K)
+        )
         from ..ops.bloom import BloomScreen
 
         bl = BloomScreen.load_or_build(

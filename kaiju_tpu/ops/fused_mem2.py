@@ -139,11 +139,11 @@ LADDER_FLOOR = 2048  # smallest worklist rung
 
 
 def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
-                   lane_pos, lane_fid, lane_j, act, K, cap0,
-                   rank_pair=None, any_fn=None, count_fn=None):
+                   lane_fid, lane_j, act, K, cap0,
+                   rank_pair=None, any_fn=None, count_fn=None, rec2=None):
     """Evaluate the maximal backward extension ending at each active lane.
 
-    lane_pos: flat end positions [N]; lane_fid/lane_j: fragment id and
+    kid: PER-LANE K-mer id [N]; lane_fid/lane_j: fragment id and
     local end position per lane; act: lanes to evaluate.  Lanes compact
     into a [cap0] buffer, seed from the K-mer table, then descend a
     halving capacity ladder: at each rung the worklist extends only
@@ -162,7 +162,7 @@ def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
     """
     anyf = any_fn or jnp.any
     countf = count_fn or (lambda x: jnp.sum(x, dtype=jnp.int32))
-    N = lane_pos.shape[0]
+    N = act.shape[0]
     n_act = jnp.sum(act, dtype=jnp.int32)
     slot = jnp.cumsum(act, dtype=jnp.int32) - 1
     slot = jnp.where(act & (slot < cap0), slot, cap0)
@@ -172,20 +172,32 @@ def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
         return out.at[slot].set(vals, mode="drop")[:cap0]
 
     cact = comp0(act, False)
-    ckid = comp0(jnp.where(act, kid[lane_pos], 0), jnp.int32(0))
+    ckid = comp0(jnp.where(act, kid, 0), jnp.int32(0))
     cjl = comp0(lane_j, jnp.int32(0))
     cbase = comp0(frag_off[lane_fid], jnp.int32(0))
     corig = comp0(
         jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0], jnp.int32(N)
     )
 
-    # seed: one K-mer record gather per surviving lane
-    srow = seed_rec[jnp.where(cact, ckid, 0)]
-    d = jnp.where(cact, srow[:, 2], 0)
-    ci = jnp.where(d > 0, cjl - d + 1, cjl)
-    cs0 = jnp.where(cact, srow[:, 0], 0)
-    cs1 = jnp.where(cact, srow[:, 1], 0)
-    alive = cact & (d == K) & (ci > 0)
+    # seed: one K-mer record gather per surviving lane (planar 1-D
+    # tables avoid the whole-table cross-program-prefetch copy XLA
+    # emits for a [20^K, 4] layout — see ROOFLINE.md)
+    if isinstance(seed_rec, tuple):
+        ckz = jnp.where(cact, ckid, 0)
+        d = jnp.where(cact, seed_rec[2][ckz].astype(jnp.int32), 0)
+        srow = None
+        cs0 = jnp.where(cact, seed_rec[0][ckz], 0)
+        cs1 = jnp.where(cact, seed_rec[1][ckz], 0)
+        ci = jnp.where(d > 0, cjl - d + 1, cjl)
+        alive = cact & (d == K) & (ci > 0)
+    else:
+        srow = seed_rec[jnp.where(cact, ckid, 0)]
+        d = jnp.where(cact, srow[:, 2], 0)
+    if srow is not None:
+        ci = jnp.where(d > 0, cjl - d + 1, cjl)
+        cs0 = jnp.where(cact, srow[:, 0], 0)
+        cs1 = jnp.where(cact, srow[:, 1], 0)
+        alive = cact & (d == K) & (ci > 0)
 
     # result accumulators (defaults: length-0 results)
     res_i = lane_j + 1
@@ -219,8 +231,13 @@ def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
 
         def body(st, cap=cap, cbase=cbase):
             b, inner = st
-            return (b + cap,
-                    _step2(rec, C, flat_codes, cbase, inner, rank_pair))
+            if rank_pair is None and rec2 is not None:
+                # one paired-row gather per step (per-gather fixed cost
+                # dominates at rung widths; see ROOFLINE.md)
+                nxt = _paired_step(rec2, C, flat_codes, cbase, inner)
+            else:
+                nxt = _step2(rec, C, flat_codes, cbase, inner, rank_pair)
+            return (b + cap, nxt)
 
         bill, (ci, cs0, cs1, alive) = jax.lax.while_loop(
             cond, body, (bill, (ci, cs0, cs1, alive))
@@ -255,6 +272,18 @@ def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
 # ---------------------------------------------------------------------------
 
 
+def _bloom_hash(cu, m):
+    """Rolling polynomial hash of the m chars ENDING at each position
+    (uint32 [N] char codes -> uint32 [N]); matches kaiju_tpu.ops.bloom."""
+    h = jnp.zeros(cu.shape, jnp.uint32)
+    a_t = np.uint32(1)
+    for t in range(m):
+        shifted = jnp.pad(cu, (t, 0))[: cu.shape[0]] if t else cu
+        h = h + shifted * a_t
+        a_t = np.uint32(int(a_t) * int(A32) & 0xFFFFFFFF)
+    return h
+
+
 def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
                    rec2=None, bloom_words=None, m=0, lb=0, W=4,
                    rank_pair=None, any_fn=None, count_fn=None):
@@ -264,46 +293,18 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     every usable position is evaluated; same results, more work).
     Returns the per-lane results of both phases (strip grid [F, W] with
     ascending j, remainder buffer [M2]) plus jstop and overflow counts.
+
+    Ordering note: the strip phase computes its per-lane k-mer ids and
+    bloom probes via narrow gathers BEFORE any full-P work, and the
+    P-length pre-pass (fid map, k-mer ids, screen) runs AFTER the strip
+    ladder and is consumed immediately by the remainder compaction —
+    so no P-sized array is live across a while loop.  XLA stages
+    loop-crossing buffers through scratch space with copies that cost
+    more than this whole pre-pass (see ROOFLINE.md).
     """
     P = flat_codes.shape[0]
     F = frag_off.shape[0] - 1
     c32 = flat_codes.astype(jnp.int32)
-
-    parange = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
-    bumps = jnp.zeros((P + 1,), jnp.int32).at[frag_off[1:F]].add(1)[:P]
-    fid = jnp.cumsum(bumps)
-    fid = jnp.clip(fid, 0, F - 1)
-    fstart = frag_off[fid]
-    flen_p = frag_off[fid + 1] - fstart
-    j_local = parange - fstart
-    usable = (j_local >= j0) & (j_local < flen_p)
-
-    # k-mer id ending at every flat position (windows never straddle a
-    # fragment boundary for usable lanes because j0 >= K-1)
-    kid = jnp.zeros((P,), dtype=jnp.int32)
-    for t in range(K):
-        sh = K - 1 - t
-        shifted = jnp.pad(c32, (sh, 0))[:P]
-        kid = kid + (shifted - 1) * (NLET ** (K - 1 - t))
-    kid = jnp.where(usable, kid, 0)
-
-    # m-mer presence screen: ONE bitmap gather per usable position
-    if bloom_words is not None and m > 0:
-        cu = c32.astype(jnp.uint32)
-        h = jnp.zeros((P,), jnp.uint32)
-        a_t = np.uint32(1)
-        for t in range(m):
-            shifted = jnp.pad(cu, (t, 0))[:P] if t else cu
-            h = h + shifted * a_t
-            a_t = np.uint32(int(a_t) * int(A32) & 0xFFFFFFFF)
-        idx = (h * GOLD) >> np.uint32(32 - lb)
-        wword = bloom_words[
-            jnp.where(usable, (idx >> 5).astype(jnp.int32), 0)
-        ]
-        screened = usable & (((wword >> (idx & 31)) & 1) > 0)
-    else:
-        screened = usable
-
     flen_f = frag_off[1:] - frag_off[:-1]
 
     # ---- phase 1: rightmost-W strip (ascending j in w) -----------------
@@ -312,12 +313,34 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     strip_valid = (strip_j >= j0) & (strip_j < flen_f[:, None])
     strip_pos = jnp.where(strip_valid, frag_off[:-1, None] + strip_j, 0)
     sp = strip_pos.reshape(-1)
-    act1 = (strip_valid.reshape(-1)) & screened[sp]
+    sv = strip_valid.reshape(-1)
+    # per-lane k-mer id: K narrow gathers (windows stay inside the
+    # fragment for valid lanes because j0 >= K-1)
+    kid1 = jnp.zeros(sp.shape, jnp.int32)
+    for t in range(K):
+        kid1 = kid1 + (
+            c32[jnp.where(sv, sp - t, 0)] - 1
+        ) * (NLET ** t)
+    # per-lane m-mer bloom probe (j0 >= m-1 for usable lanes)
+    if bloom_words is not None and m > 0:
+        hu = jnp.zeros(sp.shape, jnp.uint32)
+        a_t = np.uint32(1)
+        for t in range(m):
+            hu = hu + c32[jnp.where(sv, sp - t, 0)].astype(
+                jnp.uint32
+            ) * a_t
+            a_t = np.uint32(int(a_t) * int(A32) & 0xFFFFFFFF)
+        idx1 = (hu * GOLD) >> np.uint32(32 - lb)
+        ww1 = bloom_words[jnp.where(sv, (idx1 >> 5).astype(jnp.int32), 0)]
+        act1 = sv & (((ww1 >> (idx1 & 31)) & 1) > 0)
+    else:
+        act1 = sv
     fgrid = jax.lax.broadcasted_iota(jnp.int32, (F, W), 0)
     i1, s01, s11, need1, bill1 = _staged_extend(
         rec, C, seed_rec, flat_codes,
-        frag_off, kid, sp, fgrid.reshape(-1), strip_j.reshape(-1), act1,
+        frag_off, kid1, fgrid.reshape(-1), strip_j.reshape(-1), act1,
         K, Ms, rank_pair=rank_pair, any_fn=any_fn, count_fn=count_fn,
+        rec2=rec2,
     )
     i1g = i1.reshape(F, W)
     s01g = s01.reshape(F, W)
@@ -331,6 +354,37 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     found = jnp.any((i1g <= 1) & eval1, axis=1)
     exhausted = flen_f - W < j0
     resolved = found | exhausted
+
+    # ---- P-length pre-pass (post-strip; consumed before the phase-2
+    # ladder starts, so none of it crosses a loop boundary) --------------
+    parange = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
+    bumps = jnp.zeros((P + 1,), jnp.int32).at[frag_off[1:F]].add(1)[:P]
+    fid = jnp.cumsum(bumps)
+    fid = jnp.clip(fid, 0, F - 1)
+    fstart = frag_off[fid]
+    flen_p = frag_off[fid + 1] - fstart
+    j_local = parange - fstart
+    usable = (j_local >= j0) & (j_local < flen_p)
+
+    # k-mer id ending at every flat position
+    kid = jnp.zeros((P,), dtype=jnp.int32)
+    for t in range(K):
+        sh = K - 1 - t
+        shifted = jnp.pad(c32, (sh, 0))[:P]
+        kid = kid + (shifted - 1) * (NLET ** (K - 1 - t))
+    kid = jnp.where(usable, kid, 0)
+
+    # m-mer presence screen: ONE bitmap gather per usable position
+    if bloom_words is not None and m > 0:
+        idx = (_bloom_hash(c32.astype(jnp.uint32), m) * GOLD) >> np.uint32(
+            32 - lb
+        )
+        wword = bloom_words[
+            jnp.where(usable, (idx >> 5).astype(jnp.int32), 0)
+        ]
+        screened = usable & (((wword >> (idx & 31)) & 1) > 0)
+    else:
+        screened = usable
 
     # ---- phase 2: remaining screened positions of unresolved fragments
     need2_mask = screened & ~resolved[fid] & (j_local < flen_p - W)
@@ -346,10 +400,12 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     v2 = compact(need2_mask, False)
     fid2 = compact(fid, jnp.int32(0))
     j2 = compact(j_local, jnp.int32(0))
+    kid2 = compact(kid, jnp.int32(0))
     i2, s02, s12, need2x, bill2 = _staged_extend(
         rec, C, seed_rec, flat_codes,
-        frag_off, kid, pos2, fid2, j2, v2, K, M2,
+        frag_off, kid2, fid2, j2, v2, K, M2,
         rank_pair=rank_pair, any_fn=any_fn, count_fn=count_fn,
+        rec2=rec2,
     )
     len2 = j2 - i2 + 1
 

@@ -201,3 +201,15 @@ class KmerTables:
             rec[pres, 1] = s1[pres].astype(np.int32)
             rec[pres, 2] = d
         return rec
+
+    def planar_seed(self, K: int | None = None):
+        """packed_seed_rec as three planar 1-D arrays (s0, s1, d): XLA
+        cross-program-prefetches a [20^K, 4] table wholesale into scratch
+        space on every execution (~44 ms for K=5 on v5e); planar arrays
+        gather straight from HBM."""
+        rec = self.packed_seed_rec(K)
+        return (
+            np.ascontiguousarray(rec[:, 0]),
+            np.ascontiguousarray(rec[:, 1]),
+            np.ascontiguousarray(rec[:, 2]).astype(np.int8),
+        )
