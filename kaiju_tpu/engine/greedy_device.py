@@ -42,6 +42,28 @@ from .mem_fast import SEED_K
 QLCAP = 512  # fragments >= this many aa replay on host (group-rule cap)
 
 
+def greedy_scoring_tables(alphabet, trans):
+    """Letter-code-indexed scoring tables for the fused Greedy program:
+    diag [32], and per original code the 19 substitutions in the
+    reference's descending-score order (ConsumerThread.cpp:346-395) —
+    B62[orig, sub], substituted letter code, diag[sub]."""
+    diag = np.zeros(32, dtype=np.int32)
+    submat = np.zeros((32, 19), dtype=np.int32)
+    subcode = np.zeros((32, 19), dtype=np.int32)
+    subdiag = np.zeros((32, 19), dtype=np.int32)
+    for code, ch in enumerate(alphabet):
+        if ch not in AA_TO_INT:
+            continue
+        oi = AA_TO_INT[ch]
+        diag[code] = int(BLOSUM62_DIAG[oi])
+        for s, sub in enumerate(BLOSUM_SUBST[ch]):
+            bi = AA_TO_INT[sub]
+            submat[code, s] = int(BLOSUM62[oi, bi])
+            subcode[code, s] = int(trans[ord(sub)])
+            subdiag[code, s] = int(BLOSUM62_DIAG[bi])
+    return diag, submat, subcode, subdiag
+
+
 class GreedyDevicePipeline:
     def __init__(
         self,
@@ -94,32 +116,26 @@ class GreedyDevicePipeline:
             np.asarray(index.seq_taxids, dtype=np.int32)
         )
         # scoring tables indexed by LETTER CODE (index alphabet)
-        alpha = index.alphabet
-        diag = np.zeros(32, dtype=np.int32)
-        submat = np.zeros((32, 19), dtype=np.int32)
-        subcode = np.zeros((32, 19), dtype=np.int32)
-        subdiag = np.zeros((32, 19), dtype=np.int32)
-        for code, ch in enumerate(alpha):
-            if ch not in AA_TO_INT:
-                continue
-            oi = AA_TO_INT[ch]
-            diag[code] = int(BLOSUM62_DIAG[oi])
-            for s, sub in enumerate(BLOSUM_SUBST[ch]):
-                bi = AA_TO_INT[sub]
-                submat[code, s] = int(BLOSUM62[oi, bi])
-                subcode[code, s] = int(self._trans[ord(sub)])
-                subdiag[code, s] = int(BLOSUM62_DIAG[bi])
+        diag, submat, subcode, subdiag = greedy_scoring_tables(
+            index.alphabet, self._trans
+        )
         self._diag_tab = jax.device_put(diag)
         self._submat = jax.device_put(submat)
         self._subcode_tab = jax.device_put(subcode)
         self._subdiag_tab = jax.device_put(subdiag)
         # sticky capacities (grow on overflow, never shrink: shape changes
-        # force executable reloads over the tunnel)
-        self._m2: dict[int, int] = {}
-        self._ms = 16384
-        self._mn = 32768
-        self._mv = 65536
-        self._mt = 16384
+        # force executable reloads over the tunnel), persisted per DB so
+        # later processes start at steady state and compile exactly once
+        from ..utils.capstore import CapStore
+
+        self._caps = CapStore(
+            kmer_cache_dir or index.source_dir, "greedy"
+        )
+        self._m2: dict[int, int] = self._caps.get_map("m2")
+        self._ms = self._caps.get("ms", 16384)
+        self._mn = self._caps.get("mn", 32768)
+        self._mv = self._caps.get("mv", 65536)
+        self._mt = self._caps.get("mt", 16384)
         self._host: Optional[object] = None  # lazy exact-replay pipeline
 
     S_SLOTS = 16
@@ -211,13 +227,23 @@ class GreedyDevicePipeline:
             if (n2 <= M2 and n_surv <= Ms and n_nodes <= self._mn
                     and max_nv <= self._mv and n_ties <= self._mt):
                 break
-            M2 = min(self._bucket(max(M2, n2), 4096), self._bucket(P, 4096))
-            Ms = self._bucket(max(Ms, n_surv), 4096)
+            # grow past the observed need (not just to it): one early
+            # batch slightly under the steady-state peak must not cost a
+            # second recompile when a later batch lands slightly over
+            M2 = min(
+                self._bucket(max(M2, n2 + n2 // 4), 4096),
+                self._bucket(P, 4096),
+            )
+            Ms = self._bucket(max(Ms, n_surv + n_surv // 4), 4096)
             self._m2[P] = M2
             self._ms = Ms
-            self._mn = self._bucket(max(self._mn, n_nodes), 4096)
-            self._mv = self._bucket(max(self._mv, max_nv), 4096)
-            self._mt = self._bucket(max(self._mt, n_ties), 4096)
+            self._mn = self._bucket(
+                max(self._mn, n_nodes + n_nodes // 4), 4096
+            )
+            self._mv = self._bucket(max(self._mv, max_nv + max_nv // 4), 4096)
+            self._mt = self._bucket(max(self._mt, n_ties + n_ties // 4), 4096)
+            self._caps.update(m2=self._m2, ms=Ms, mn=self._mn,
+                              mv=self._mv, mt=self._mt)
             out = self._dispatch(flat, frag_off, frag_rid, Bp, M2, Ms)
 
         flagged = set(fallback)

@@ -185,6 +185,15 @@ class GreedyFastPipeline(SaResolveMixin):
         self._uvars: list = []  # uid -> dict of round-1 variant arrays
         self._ext_cache: dict[tuple, tuple] = {}
         self._probe_cache: dict[tuple, Optional[tuple]] = {}
+        # generation flush (see mem_fast): drop all fragment-keyed memo
+        # tables once the unique-fragment count passes the cap, only
+        # between batches so outstanding uids stay valid
+        import os as _os
+
+        self._cache_cap = int(
+            _os.environ.get("KAIJU_FRAG_CACHE_CAP", 1 << 18)
+        )
+        self._inflight = 0
         self._m2: dict[int, int] = {}
         self._ms = 32768
         self._mout = MAP_CAP
@@ -1007,6 +1016,10 @@ class GreedyFastPipeline(SaResolveMixin):
     def classify_stream(self, batches):
         state = None
         for batch in batches:
+            if state is not None and len(self._frags) > self._cache_cap:
+                # drain so the generation flush can fire at next submit
+                yield self.collect_batch(state)
+                state = None
             nxt = self.submit_batch(batch)
             if state is not None:
                 yield self.collect_batch(state)
@@ -1014,7 +1027,27 @@ class GreedyFastPipeline(SaResolveMixin):
         if state is not None:
             yield self.collect_batch(state)
 
+    def _maybe_flush_caches(self):
+        if self._inflight > 0 or len(self._frags) <= self._cache_cap:
+            return
+        self._frag_ids.clear()
+        self._frags.clear()
+        self._gmaps.clear()
+        self._mm_cache.clear()
+        self._enc_np.clear()
+        self._pref_np.clear()
+        self._nodes.clear()
+        self._uid_best.clear()
+        self._uvars.clear()
+        self._ext_cache.clear()
+        self._probe_cache.clear()
+        self._pref.clear()
+        if self._seg is not None:
+            self._seg_cache.clear()
+
     def submit_batch(self, reads):
+        self._maybe_flush_caches()
+        self._inflight += 1
         frags_all, orders_all, keys_all = self._frag_seg.run(
             reads, with_keys=True
         )
@@ -1027,6 +1060,7 @@ class GreedyFastPipeline(SaResolveMixin):
         return (reads, orders, keys_of)
 
     def collect_batch(self, state):
+        self._inflight = max(0, self._inflight - 1)
         cfg = self.cfg
         reads, orders, keys_of = state
         if cfg.seg:

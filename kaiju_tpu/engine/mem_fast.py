@@ -181,8 +181,13 @@ class MemFastPipeline(SaResolveMixin):
         self._bloom_words = bl.words if bl else None
         self._bloom_m = bl.m if bl else 0
         self._bloom_lb = bl.lb if bl else 0
-        self._m2: dict[int, int] = {}  # phase-2 lane capacity per P bucket
-        self._ms = 16384  # survivor-lane capacity of the completion loops
+        from ..utils.capstore import CapStore
+
+        self._caps = CapStore(kmer_cache_dir or index.source_dir, "mem")
+        # phase-2 lane capacity per P bucket / survivor-lane capacity of
+        # the completion loops; persisted per DB (see utils/capstore.py)
+        self._m2: dict[int, int] = self._caps.get_map("m2")
+        self._ms = self._caps.get("ms", 16384)
         self._trans = trans_table(index.alphabet)
         if config.seg:
             from .seg_native import make_seg_filter
@@ -201,6 +206,16 @@ class MemFastPipeline(SaResolveMixin):
         self._frags: list[str] = []
         # uid -> (maxl, [(tie j, si0, si1) ascending j])
         self._stats: list = []
+        # generation flush: the fragment memo tables grow with unique
+        # fragments seen; on a production-scale stream they are dropped
+        # wholesale once the cap is hit (between batches only — uids in
+        # submitted-but-uncollected states must stay valid)
+        import os as _os
+
+        self._cache_cap = int(
+            _os.environ.get("KAIJU_FRAG_CACHE_CAP", 1 << 18)
+        )
+        self._inflight = 0
         # fully-fused device classification (search + SA + LCA in one
         # call); falls back to the host tail per read when budgets
         # overflow.  Verbose output needs names, so it stays on the host
@@ -367,10 +382,14 @@ class MemFastPipeline(SaResolveMixin):
             n2, n_surv = int(packed[F, 0]), int(packed[F, 1])
             if n2 <= M2 and n_surv <= Ms:
                 break
-            M2 = min(self._bucket(max(M2, n2), 4096), self._bucket(P, 4096))
-            Ms = self._bucket(max(Ms, n_surv), 4096)
+            M2 = min(
+                self._bucket(max(M2, n2 + n2 // 4), 4096),
+                self._bucket(P, 4096),
+            )
+            Ms = self._bucket(max(Ms, n_surv + n_surv // 4), 4096)
             self._m2[P] = M2
             self._ms = Ms
+            self._caps.update(m2=self._m2, ms=Ms)
             out = fused_mem_search2(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
                 None, self._bloom_words, self.seed_K, j0,
@@ -455,11 +474,21 @@ class MemFastPipeline(SaResolveMixin):
     S_SLOTS = 16  # pop-order slots per read in the fused-classify table
     R_BUDGET = 32  # SA positions resolved on device per read
 
+    def _maybe_flush_caches(self):
+        if self._inflight == 0 and len(self._frags) > self._cache_cap:
+            self._frag_ids.clear()
+            self._frags.clear()
+            self._stats.clear()
+            if self._seg is not None:
+                self._seg_cache.clear()
+
     def submit_batch(self, reads):
         """Host fragmenting + async device dispatch for one batch.  The
         returned state is consumed by collect_batch; submitting the next
         batch before collecting the previous overlaps host work with
         device compute (the device queue stays busy)."""
+        self._maybe_flush_caches()
+        self._inflight += 1
         if self._device_tail:
             return self._submit_tail(reads)
         frags, orders_local = self._fragmenter.run(reads)
@@ -522,10 +551,14 @@ class MemFastPipeline(SaResolveMixin):
             if n2 <= M2 and n_surv <= Ms:
                 break
             P = flat.shape[0]
-            M2 = min(self._bucket(max(M2, n2), 4096), self._bucket(P, 4096))
-            Ms = self._bucket(max(Ms, n_surv), 4096)
+            M2 = min(
+                self._bucket(max(M2, n2 + n2 // 4), 4096),
+                self._bucket(P, 4096),
+            )
+            Ms = self._bucket(max(Ms, n_surv + n_surv // 4), 4096)
             self._m2[P] = M2
             self._ms = Ms
+            self._caps.update(m2=self._m2, ms=Ms)
             out = fused_mem_classify(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
                 rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
@@ -617,6 +650,11 @@ class MemFastPipeline(SaResolveMixin):
 
         q: deque = deque()
         for batch in batches:
+            if len(self._frags) > self._cache_cap:
+                # drain the lookahead so the generation flush (which
+                # invalidates uids) can fire at the next submit
+                while q:
+                    yield self.collect_batch(q.popleft())
             q.append(self.submit_batch(batch))
             if len(q) > depth:
                 yield self.collect_batch(q.popleft())
@@ -624,6 +662,7 @@ class MemFastPipeline(SaResolveMixin):
             yield self.collect_batch(q.popleft())
 
     def collect_batch(self, state) -> list[tuple[str, ClassifyResult]]:
+        self._inflight = max(0, self._inflight - 1)
         if state[0] == "tail":
             return self._collect_tail(state)
         cfg = self.cfg

@@ -1,0 +1,59 @@
+"""Persisted sticky funnel capacities.
+
+Every fused device program bakes its lane capacities (M2, Ms, Mn, Mv,
+Mt, ...) into the compiled executable; an overflow grows the capacity
+and recompiles.  Growth is learned per database + batch shape, so we
+persist it next to the index: a fresh process starts at the learned
+steady-state sizes, compiles ONCE (usually straight from the
+persistent XLA compile cache), and never pays a mid-stream recompile.
+
+The reference has no analog (its per-read heap has no capacity
+concept); this is the TPU-side cost of static shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+
+class CapStore:
+    def __init__(self, cache_dir: Optional[str], name: str):
+        self.path = (
+            os.path.join(cache_dir, f"caps_{name}.json") if cache_dir else None
+        )
+        self._data: dict = {}
+        if self.path and os.path.exists(self.path):
+            try:
+                with open(self.path) as fh:
+                    self._data = json.load(fh)
+            except (OSError, ValueError):
+                self._data = {}
+
+    def get(self, key: str, default: int) -> int:
+        v = self._data.get(key)
+        return max(int(v), default) if isinstance(v, (int, float)) else default
+
+    def get_map(self, key: str) -> dict[int, int]:
+        m = self._data.get(key)
+        if not isinstance(m, dict):
+            return {}
+        return {int(k): int(v) for k, v in m.items()}
+
+    def update(self, **kv) -> None:
+        for k, v in kv.items():
+            if isinstance(v, dict):
+                cur = self._data.setdefault(k, {})
+                for p, c in v.items():
+                    cur[str(p)] = max(int(cur.get(str(p), 0)), int(c))
+            else:
+                self._data[k] = max(int(self._data.get(k, 0)), int(v))
+        if self.path:
+            try:
+                tmp = self.path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(self._data, fh)
+                os.replace(tmp, self.path)
+            except OSError:
+                pass

@@ -127,6 +127,7 @@ def test_mergeoutputs_score_parity(db_env, tmp_path):
 
 
 @needs_oracle
+@pytest.mark.slow
 def test_kaiju_cli_end_to_end(db_env, tmp_path):
     """Our kaiju CLI on .fmi input == reference kaiju binary output."""
     rng = random.Random(88)
@@ -151,6 +152,7 @@ def test_kaiju_cli_end_to_end(db_env, tmp_path):
 
 
 @needs_oracle
+@pytest.mark.slow
 def test_consistency_triangle(db_env, tmp_path):
     """The reference CI's internal-consistency checks
     (reference: test/viruses/sars-cov-2-SE.sh:9-31), on our own tools:
