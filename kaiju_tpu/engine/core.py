@@ -192,6 +192,7 @@ class ReadClassifier:
         self.index = index
         self.tax = taxonomy
         self._trans = trans_table(index.alphabet)
+        self._debug = getattr(cfg, "debug", False)
         if cfg.seg:
             from .seg_native import make_seg_filter
 
@@ -220,6 +221,13 @@ class ReadClassifier:
                     self._push(state, score, Fragment(piece, seg_checked=True))
             else:
                 self._push(state, length, Fragment(piece, seg_checked=True))
+
+    def _dbg(self, msg: str) -> None:
+        """-d per-read tracing, byte-compatible with the reference's
+        stderr lines (reference: ConsumerThread.cpp:437-470,555-573)."""
+        import sys
+
+        print(msg, file=sys.stderr)
 
     def _push(self, state, key, frag):
         heapq.heappush(state["q"], (-key, state["n"], frag))
@@ -301,6 +309,8 @@ class ReadClassifier:
             f = self._get_next_fragment(state, longest)
             if f is None:
                 break
+            if self._debug:
+                self._dbg(f"Searching fragment {f.seq} ({len(f.seq)})")
             ext = yield ExtendAll(f.seq)
             if cfg.taxonomy_free:
                 # kaijux MEM uses maxMatches with cap 1 instead of
@@ -313,7 +323,11 @@ class ReadClassifier:
                     ext, max(cfg.min_fragment_length, longest), -1
                 )
             if si is None:
+                if self._debug:
+                    self._dbg("No match for this fragment.")
                 continue
+            if self._debug:
+                self._dbg(f"Longest match is length {si.ql}")
             if si.ql > longest:
                 matches = [si]
                 longest = si.ql
@@ -344,6 +358,11 @@ class ReadClassifier:
             if t is None:
                 break
             length = len(t.seq)
+            if self._debug:
+                self._dbg(
+                    f"Searching fragment {t.seq} "
+                    f"({length},{t.num_mm},{t.diff})"
+                )
             if t.num_mm > 0:
                 L = (
                     cfg.min_fragment_length
@@ -357,7 +376,11 @@ class ReadClassifier:
                 ext = yield ExtendAll(t.seq)
                 si = max_matches_from_map(ext, cfg.seed_length, 0)
             if si is None:
+                if self._debug:
+                    self._dbg("No match for this fragment.")
                 continue
+            if self._debug:
+                self._dbg(f"Longest match is length {si.ql}")
 
             if cfg.mismatches > 0 and t.num_mm < cfg.mismatches:
                 # Plan all substitution probes for this pop: the attempted
@@ -367,6 +390,12 @@ class ReadClassifier:
                 probes = []
                 for node in walk_group_heads(si):
                     match_right_end = node.qi + node.ql - 1
+                    if self._debug:
+                        self._dbg(
+                            f"Match from {node.qi} to {match_right_end}: "
+                            f"{t.seq[node.qi : match_right_end + 1]} "
+                            f"({node.ql})"
+                        )
                     if (
                         node.qi > 0
                         and match_right_end + 1 >= cfg.min_fragment_length
@@ -402,6 +431,8 @@ class ReadClassifier:
                         )
 
             if si.ql < cfg.min_fragment_length:
+                if self._debug:
+                    self._dbg(f"Match of length {si.ql} is too short")
                 continue
             best_score = self._eval_match_scores(
                 si, t, best_score, best_sis, best_fragments
@@ -417,6 +448,8 @@ class ReadClassifier:
                 * query_len
                 * math.pow(2.0, -bitscore)
             )
+            if self._debug:
+                self._dbg(f"E-value = {evalue:g}")
             if evalue > cfg.min_Evalue:
                 return ClassifyResult(False, 0, u_zero=False)
 
@@ -666,3 +699,9 @@ class ExactClassifier:
     def classify_read(self, name, seq1, seq2=None):
         res = drive_sync(self.core.run(name, seq1, seq2), self.executor)
         return name, res
+
+    def classify_batch(self, reads):
+        """Sequential driver (used by -d: reads processed one at a time
+        so the stderr trace interleaves exactly like the reference's
+        single-threaded run)."""
+        return [self.classify_read(*r) for r in reads]

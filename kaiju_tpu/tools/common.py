@@ -31,6 +31,13 @@ def make_runner(index, taxonomy, cfg: KaijuConfig):
     if kmer_dir is None and getattr(index, "source_dir", None):
         # cache the k-mer seed tables beside the index itself
         kmer_dir = index.source_dir
+    if getattr(cfg, "debug", False):
+        # -d: sequential exact engine so per-fragment stderr traces
+        # interleave exactly like the reference's single-threaded run
+        # (ConsumerThread.cpp:437-470)
+        from ..engine.core import ExactClassifier
+
+        return ExactClassifier(index, taxonomy, cfg)
     if cfg.mode == "mem" and not cfg.taxonomy_free:
         from ..engine.mem_fast import MemFastPipeline
 
@@ -93,6 +100,9 @@ def add_engine_args(ap, protein_tool=False):
     ap.add_argument("-X", dest="seg", action="store_false",
                     help="disable SEG low complexity filter")
     ap.add_argument("-v", dest="verbose", action="store_true")
+    ap.add_argument("-d", dest="debug", action="store_true",
+                    help="per-read debug tracing on stderr (runs the "
+                         "exact host engine)")
     ap.add_argument("-b", dest="batch_size", type=int, default=4096,
                     help="reads per device batch")
 
@@ -102,6 +112,7 @@ def config_from_args(args, taxonomy_free=False, protein=False) -> KaijuConfig:
         mode=args.mode,
         seg=args.seg,
         verbose=args.verbose,
+        debug=getattr(args, "debug", False),
         min_fragment_length=args.min_fragment_length,
         mismatches=args.mismatches,
         min_score=args.min_score,
