@@ -93,12 +93,14 @@ def _paired_rank2(rec2, C, c, a0, a1, act):
     return jax.lax.cond(jnp.any(wide), mixed, narrow, None)
 
 
-def _extend_paired_overlay(rec2, C, flat_codes, base, pos, subcode,
+def _extend_paired_overlay(rank_pair2, flat_codes, base, pos, subcode,
                            start_i, s0, s1, act, any_fn=None):
     """Backward-extend right-anchored lanes whose character stream is
     flat_codes[base + x] with an overlay subcode at x == pos (the
     substituted letter) — maxMatches_withStart's loop
-    (reference: bwt.c:298-336) over all lanes at once."""
+    (reference: bwt.c:298-336) over all lanes at once.  rank_pair2 is
+    the paired-rank primitive (local gathers on one chip, owner-computes
+    + psum on a mesh)."""
     anyf = any_fn or jnp.any
 
     def body(st):
@@ -107,7 +109,7 @@ def _extend_paired_overlay(rec2, C, flat_codes, base, pos, subcode,
         cpos = jnp.where(alive, base + x, 0)
         c = jnp.where(x == pos, subcode,
                       flat_codes[cpos].astype(jnp.int32))
-        n0, n1 = _paired_rank2(rec2, C, c, a0, a1, alive)
+        n0, n1 = rank_pair2(c, a0, a1, alive)
         ok = alive & (n0 < n1)
         a0 = jnp.where(ok, n0, a0)
         a1 = jnp.where(ok, n1, a1)
@@ -168,6 +170,39 @@ def fused_greedy_classify(
     last row = (n2, n_surv, n_nodes, max n_variants, n_ties, 0, 0, 0) for
     the capacity-retry loop.
     """
+
+    def rank_pair2(c, a0, a1, act):
+        return _paired_rank2(rec2, C, c, a0, a1, act)
+
+    def walk_fn(kf):
+        return _sa_walk_local(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf)
+
+    def search_fn(M2_, Ms_):
+        return _search_phases(rec, C, seed_rec, flat_codes, frag_off, K,
+                              j0, M2_, Ms_, rec2=rec2,
+                              bloom_words=bloom_words, m=m, lb=lb, W=W)
+
+    return greedy_core(
+        search_fn, rank_pair2, walk_fn, None,
+        seq_tax, parent, depth, flat_codes, frag_off, frag_rid,
+        diag_tab, submat, subcode_tab, subdiag_tab,
+        B, Lmap, mfl, min_score, mismatches,
+        M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp,
+    )
+
+
+def greedy_core(
+    search_fn, rank_pair2, walk_fn, any_fn,
+    seq_tax, parent, depth, flat_codes, frag_off, frag_rid,
+    diag_tab, submat, subcode_tab, subdiag_tab,
+    B, Lmap, mfl, min_score, mismatches,
+    M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp,
+):
+    """The fused Greedy program over injected index primitives:
+    search_fn(M2, Ms) -> _search_phases dict; rank_pair2(c, a0, a1,
+    act) -> (n0, n1); walk_fn(kf) -> sequence index per SA position;
+    any_fn for lockstep while-loop conditions (psum over the index axis
+    of a mesh, plain jnp.any on one chip)."""
     F = frag_off.shape[0] - 1
 
     # ---- per-position diag-score prefix sums (calcScore via prefix
@@ -182,10 +217,9 @@ def fused_greedy_classify(
         return prefflat[off + x] - prefflat[off]
 
     # ---- level-0 search funnel ----------------------------------------
-    ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
-                        Ms, rec2=rec2, bloom_words=bloom_words, m=m, lb=lb,
-                        W=W)
+    ph = search_fn(M2, Ms)
     strip_j, eval1 = ph["strip_j"], ph["eval1"]      # [F, W]
+    W = strip_j.shape[1]
     i1g, s01g, s11g, len1 = ph["i1g"], ph["s01g"], ph["s11g"], ph["len1"]
     v2, fid2, j2 = ph["v2"], ph["fid2"], ph["j2"]    # [M2]
     i2, s02, s12, len2 = ph["i2"], ph["s02"], ph["s12"], ph["len2"]
@@ -316,8 +350,8 @@ def fused_greedy_classify(
         v_nm = g(fr["num_mm"]) + 1
 
         # UpdateSI probe (reference: bwt.c:160-173)
-        n0, n1 = _paired_rank2(
-            rec2, C, jnp.where(v_on, v_code, 0),
+        n0, n1 = rank_pair2(
+            jnp.where(v_on, v_code, 0),
             jnp.where(v_on, g(fr["s0"]), 0),
             jnp.where(v_on, g(fr["s1"]), 0), v_on,
         )
@@ -326,8 +360,8 @@ def fused_greedy_classify(
         # resumed extension (maxMatches_withStart, bwt.c:298-336)
         start_i = jnp.where(p_ok, v_effL - v_matchlen, 0)
         i_res, r0, r1 = _extend_paired_overlay(
-            rec2, C, flat_codes, frag_off[jnp.minimum(v_fid, F)],
-            v_qi - 1, v_code, start_i, n0, n1, p_ok,
+            rank_pair2, flat_codes, frag_off[jnp.minimum(v_fid, F)],
+            v_qi - 1, v_code, start_i, n0, n1, p_ok, any_fn=any_fn,
         )
         i_res = jnp.where(p_ok, i_res, 1)
         ml = v_effL - i_res
@@ -393,12 +427,9 @@ def fused_greedy_classify(
     contrib = g_s1 > g_s0
 
     # ---- SA resolution + capped ids + LCA (shared tail) ----------------
-    def walk_fn(kf):
-        return _sa_walk_local(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf)
-
     lca, n_ids, need_more, _total = ranges_lca(
         g_s0, g_s1, contrib, walk_fn, seq_tax, parent, depth, R, cap,
-        nseq, chpt_exp,
+        nseq, chpt_exp, any_fn=any_fn,
     )
     lca = jnp.where(best > 0, lca, 0)
     flags = (tie_cnt > T).astype(jnp.int32) * FLAG_TIE_OVER + (

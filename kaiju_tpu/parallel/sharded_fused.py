@@ -35,6 +35,102 @@ def _any_psum(x):
     return jax.lax.psum(jnp.sum(x.astype(jnp.int32)), "index") > 0
 
 
+def _make_rank1(blocks_s, occ_s, shard_base, C, nb_s):
+    """Owner-computes rank over the index axis: the owning shard
+    contributes checkpoint+count, the rest contribute zero, psum
+    assembles (call only inside shard_map)."""
+    S_ = jax.lax.axis_size("index")
+    my = jax.lax.axis_index("index")
+
+    def rank1(c, k):
+        b = k >> 7
+        owner = jnp.minimum(b // nb_s, S_ - 1)
+        mine = owner == my
+        lb = jnp.clip(b - my * nb_s, 0, nb_s - 1)
+        row = blocks_s[lb]
+        off = k & (BLOCK - 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+        cnt = jnp.sum(
+            (row == c[:, None].astype(row.dtype)) & (lanes < off[:, None]),
+            axis=1, dtype=jnp.int32,
+        )
+        local = jnp.where(mine, occ_s[lb, c] + cnt, 0)
+        total = jax.lax.psum(local, "index")
+        return C[c] + shard_base[owner, c] + total
+
+    return rank1
+
+
+def _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s, sa_off_s,
+               nb_s, ns_s, nseq, chpt_exp):
+    """Owner-computes SA walk (get_suffix; reference bwt.c:105-121) on
+    the index axis, loops psum-lockstepped (call only inside shard_map)."""
+    S_ = jax.lax.axis_size("index")
+    my = jax.lax.axis_index("index")
+    check = (1 << chpt_exp) - 1
+
+    def walk_fn(kf):
+        N = kf.shape[0]
+
+        def sample(k, steps):
+            idx = (k >> chpt_exp) - ((nseq - 1) >> chpt_exp) - 1
+            idx = jnp.clip(idx, 0, S_ * ns_s - 1)
+            owner = jnp.minimum(idx // ns_s, S_ - 1)
+            li = jnp.clip(idx - my * ns_s, 0, ns_s - 1)
+            mine = owner == my
+            iseq = jax.lax.psum(jnp.where(mine, sa_seq_s[li], 0), "index")
+            pos = jax.lax.psum(jnp.where(mine, sa_off_s[li], 0), "index")
+            return iseq, pos + steps
+
+        steps = jnp.zeros(N, jnp.int32)
+        done = (kf & check) == 0
+        iseq, _pos = sample(kf, steps)
+
+        def body(st):
+            k, steps, done, iseq = st
+            b = k >> 7
+            owner = jnp.minimum(b // nb_s, S_ - 1)
+            mine = owner == my
+            lb = jnp.clip(b - my * nb_s, 0, nb_s - 1)
+            row = blocks_s[lb]
+            off = k & (BLOCK - 1)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+            cb = jnp.sum(
+                jnp.where(
+                    mine[:, None] & (lanes == off[:, None]),
+                    row.astype(jnp.int32), 0,
+                ),
+                axis=1,
+            )
+            c = jax.lax.psum(cb, "index")
+            cnt = jnp.sum(
+                (row == c[:, None].astype(row.dtype))
+                & (lanes < off[:, None]),
+                axis=1, dtype=jnp.int32,
+            )
+            local = jnp.where(mine, occ_s[lb, c] + cnt, 0)
+            k_new = C[c] + shard_base[owner, c] + jax.lax.psum(
+                local, "index"
+            )
+            hit_term = ~done & (c == 0)
+            iseq = jnp.where(hit_term, k_new, iseq)
+            stepping = ~done & ~hit_term
+            k = jnp.where(stepping, k_new, k)
+            steps = jnp.where(stepping, steps + 1, steps)
+            at_chk = stepping & ((k & check) == 0)
+            s_iseq, _sp = sample(k, steps)
+            iseq = jnp.where(at_chk, s_iseq, iseq)
+            done = done | hit_term | at_chk
+            return k, steps, done, iseq
+
+        _, _, _, iseq = jax.lax.while_loop(
+            lambda st: _any_psum(~st[2]), body, (kf, steps, done, iseq)
+        )
+        return iseq
+
+    return walk_fn
+
+
 def make_sharded_mem_classify(
     mesh: Mesh,
     sh: ShardedIndexArrays,
@@ -73,24 +169,7 @@ def make_sharded_mem_classify(
         flat_codes = flat_codes[0]
         frag_off = frag_off[0]
         rf_rows = rf_rows[0]
-        S_ = jax.lax.axis_size("index")
-        my = jax.lax.axis_index("index")
-
-        def rank1(c, k):
-            b = k >> 7
-            owner = jnp.minimum(b // nb_s, S_ - 1)
-            mine = owner == my
-            lb = jnp.clip(b - my * nb_s, 0, nb_s - 1)
-            row = blocks_s[lb]
-            off = k & (BLOCK - 1)
-            lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-            cnt = jnp.sum(
-                (row == c[:, None].astype(row.dtype)) & (lanes < off[:, None]),
-                axis=1, dtype=jnp.int32,
-            )
-            local = jnp.where(mine, occ_s[lb, c] + cnt, 0)
-            total = jax.lax.psum(local, "index")
-            return C[c] + shard_base[owner, c] + total
+        rank1 = _make_rank1(blocks_s, occ_s, shard_base, C, nb_s)
 
         def rank_pair(c, a0, a1):
             return rank1(c, a0), rank1(c, a1)
@@ -100,72 +179,8 @@ def make_sharded_mem_classify(
             rec2=None, rank_pair=rank_pair, any_fn=_any_psum,
         )
         stats = _mem_stats(ph, min_len, T)
-
-        check = (1 << chpt_exp) - 1
-
-        def walk_fn(kf):
-            N = kf.shape[0]
-
-            def sample(k, steps):
-                idx = (k >> chpt_exp) - ((nseq - 1) >> chpt_exp) - 1
-                idx = jnp.clip(idx, 0, S_ * ns_s - 1)
-                owner = jnp.minimum(idx // ns_s, S_ - 1)
-                li = jnp.clip(idx - my * ns_s, 0, ns_s - 1)
-                mine = owner == my
-                iseq = jax.lax.psum(
-                    jnp.where(mine, sa_seq_s[li], 0), "index"
-                )
-                pos = jax.lax.psum(
-                    jnp.where(mine, sa_off_s[li], 0), "index"
-                )
-                return iseq, pos + steps
-
-            steps = jnp.zeros(N, jnp.int32)
-            done = (kf & check) == 0
-            iseq, _pos = sample(kf, steps)
-
-            def body(st):
-                k, steps, done, iseq = st
-                b = k >> 7
-                owner = jnp.minimum(b // nb_s, S_ - 1)
-                mine = owner == my
-                lb = jnp.clip(b - my * nb_s, 0, nb_s - 1)
-                row = blocks_s[lb]
-                off = k & (BLOCK - 1)
-                lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-                cb = jnp.sum(
-                    jnp.where(
-                        mine[:, None] & (lanes == off[:, None]),
-                        row.astype(jnp.int32), 0,
-                    ),
-                    axis=1,
-                )
-                c = jax.lax.psum(cb, "index")
-                cnt = jnp.sum(
-                    (row == c[:, None].astype(row.dtype))
-                    & (lanes < off[:, None]),
-                    axis=1, dtype=jnp.int32,
-                )
-                local = jnp.where(mine, occ_s[lb, c] + cnt, 0)
-                k_new = C[c] + shard_base[owner, c] + jax.lax.psum(
-                    local, "index"
-                )
-                hit_term = ~done & (c == 0)
-                iseq = jnp.where(hit_term, k_new, iseq)
-                stepping = ~done & ~hit_term
-                k = jnp.where(stepping, k_new, k)
-                steps = jnp.where(stepping, steps + 1, steps)
-                at_chk = stepping & ((k & check) == 0)
-                s_iseq, _sp = sample(k, steps)
-                iseq = jnp.where(at_chk, s_iseq, iseq)
-                done = done | hit_term | at_chk
-                return k, steps, done, iseq
-
-            _, _, _, iseq = jax.lax.while_loop(
-                lambda st: _any_psum(~st[2]), body,
-                (kf, steps, done, iseq),
-            )
-            return iseq
+        walk_fn = _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s,
+                             sa_off_s, nb_s, ns_s, nseq, chpt_exp)
 
         lca, longest, flags, n_ids = classify_tail(
             stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
@@ -194,6 +209,296 @@ def make_sharded_mem_classify(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def make_sharded_greedy_classify(
+    mesh: Mesh,
+    sh: ShardedIndexArrays,
+    *,
+    B: int,
+    K: int,
+    j0: int,
+    Lmap: int,
+    mfl: int,
+    min_score: int,
+    mismatches: int,
+    M2: int,
+    Ms: int,
+    Mn: int,
+    Mv: int,
+    Mt: int,
+    T: int,
+    R: int,
+    cap: int,
+):
+    """Jitted sharded Greedy step: the full fused program
+    (kaiju_tpu.ops.fused_greedy.greedy_core — level-0 funnel, inserted
+    nodes, substitution fan-out levels, ties, SA walks, LCA) with every
+    rank and SA query owner-computed over the "index" axis and psum'd,
+    while-loops lockstepped with _any_psum.  Per-data-shard inputs as in
+    make_sharded_mem_classify plus frag_rid int32 [D, F]."""
+    from ..ops.fused_greedy import greedy_core
+
+    nb_s = sh.nb_s
+    ns_s = sh.ns_s
+    nseq = sh.nseq
+    chpt_exp = sh.chpt_exp
+
+    def per_device(
+        blocks_s, occ_s, shard_base, C, sa_seq_s, sa_off_s,
+        seed_rec, seq_tax, parent, depth,
+        flat_codes, frag_off, frag_rid,
+        diag_tab, submat, subcode_tab, subdiag_tab,
+    ):
+        blocks_s = blocks_s[0]
+        occ_s = occ_s[0]
+        sa_seq_s = sa_seq_s[0]
+        sa_off_s = sa_off_s[0]
+        flat_codes = flat_codes[0]
+        frag_off = frag_off[0]
+        frag_rid = frag_rid[0]
+        rank1 = _make_rank1(blocks_s, occ_s, shard_base, C, nb_s)
+
+        def rank_pair(c, a0, a1):
+            return rank1(c, a0), rank1(c, a1)
+
+        def rank_pair2(c, a0, a1, act):
+            a0c = jnp.where(act, a0, 0)
+            a1c = jnp.where(act, a1, 0)
+            return rank1(c, a0c), rank1(c, a1c)
+
+        def search_fn(M2_, Ms_):
+            return _search_phases(
+                None, C, seed_rec, flat_codes, frag_off, K, j0, M2_, Ms_,
+                rec2=None, rank_pair=rank_pair, any_fn=_any_psum,
+            )
+
+        walk_fn = _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s,
+                             sa_off_s, nb_s, ns_s, nseq, chpt_exp)
+
+        out = greedy_core(
+            search_fn, rank_pair2, walk_fn, _any_psum,
+            seq_tax, parent, depth, flat_codes, frag_off, frag_rid,
+            diag_tab, submat, subcode_tab, subdiag_tab,
+            B, Lmap, mfl, min_score, mismatches,
+            M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp,
+        )
+        return out[None]
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P("index"), P("index"), None, None,   # blocks, occ, base, C
+            P("index"), P("index"),               # SA samples
+            None, None, None, None,               # seed/tax tables
+            P("data"), P("data"), P("data"),      # per-data-shard queries
+            None, None, None, None,               # scoring tables
+        ),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedGreedyClassifier:
+    """Greedy classification on a (data x index) mesh: host fragmenting
+    per data shard, one fused sharded device program, capacity-retry,
+    and exact host replay of flagged reads — the mesh analog of
+    engine/greedy_device.GreedyDevicePipeline."""
+
+    def __init__(self, index, taxonomy, config, mesh: Mesh, n_index: int):
+        import math
+
+        from ..engine.greedy_device import greedy_scoring_tables
+        from ..engine.mem_fast import SEED_K
+        from ..index.alphabet import trans_table
+        from ..ops.kmer import KmerTables
+
+        assert config.mode == "greedy"
+        self.cfg = config
+        self.index = index
+        self.mesh = mesh
+        self.n_data = mesh.shape["data"]
+        self.sh = ShardedIndexArrays(index, n_index)
+        want_K = min(SEED_K, config.seed_length)
+        self.kmer = KmerTables.load_or_build(index, None, K=want_K)
+        self.seed_K = min(want_K, self.kmer.K)
+        self._seed_rec = self.kmer.packed_seed_rec(self.seed_K)
+        self._lmap = min(config.seed_length, config.min_fragment_length)
+        par, dep = taxonomy.dense_arrays()
+        self._parent = par
+        self._depth = dep
+        self._seq_tax = np.asarray(index.seq_taxids, dtype=np.int32)
+        trans = trans_table(index.alphabet)
+        self._tabs = greedy_scoring_tables(index.alphabet, trans)
+        self._math = math
+        self.R = 32
+        self.S = 16
+        self._m2 = 65536
+        self._ms = 16384
+        self._mn = 32768
+        self._mv = 65536
+        self._mt = 16384
+        self._fns: dict = {}
+        self._tax = taxonomy
+        self._host = None
+
+    @staticmethod
+    def _bucket(n, lo):
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    def _fn(self, B):
+        cfg = self.cfg
+        key = (B, self._m2, self._ms, self._mn, self._mv, self._mt)
+        if key not in self._fns:
+            self._fns[key] = make_sharded_greedy_classify(
+                self.mesh, self.sh,
+                B=B, K=self.seed_K, j0=self._lmap - 1, Lmap=self._lmap,
+                mfl=cfg.min_fragment_length, min_score=cfg.min_score,
+                mismatches=cfg.mismatches,
+                M2=self._m2, Ms=self._ms, Mn=self._mn, Mv=self._mv,
+                Mt=self._mt, T=cfg.max_matches_SI, R=self.R,
+                cap=cfg.max_match_ids,
+            )
+        return self._fns[key]
+
+    def classify_reads(self, reads):
+        """Fragments `reads` across the data axis, runs the fused
+        sharded Greedy step (with mesh-wide capacity retry), then the
+        host E-value gate and exact replay of flagged reads."""
+        from ..engine.core import ClassifyResult
+        from ..engine.fragments_native import NativeFragmenter2
+        from ..ops.fused_greedy import FLAG_NEED_MORE, FLAG_TIE_OVER
+
+        cfg = self.cfg
+        D = self.n_data
+        per = -(-len(reads) // D)
+        pad = per * D - len(reads)
+        items = list(reads) + [("~pad", "", None)] * pad
+        frag2 = NativeFragmenter2(
+            "greedy", cfg.min_fragment_length, cfg.min_score, cfg.seg,
+            cfg.input_is_protein,
+        )
+        parts = []
+        P_cap = 1024
+        F_cap = 128
+        fallback = set()
+        for d in range(D):
+            sub = items[d * per : (d + 1) * per]
+            flat, chars, frag_off, n_frags, _k, rf, oflow = frag2.run(
+                sub, self.S, self._bucket
+            )
+            parts.append((flat, frag_off, rf, oflow))
+            P_cap = max(P_cap, flat.shape[0])
+            F_cap = max(F_cap, frag_off.shape[0] - 1)
+        shards = []
+        for d, (flat, frag_off, rf, oflow) in enumerate(parts):
+            fl = np.zeros(P_cap, np.uint8)
+            fl[: flat.shape[0]] = flat
+            of = np.full(F_cap + 1, frag_off[-1], np.int32)
+            of[: frag_off.shape[0]] = frag_off
+            frag_rid = np.full(F_cap, per, dtype=np.int32)
+            rows = rf[rf >= 0]
+            rids = np.broadcast_to(
+                np.arange(per, dtype=np.int32)[:, None], rf.shape
+            )[rf >= 0]
+            frag_rid[rows] = rids
+            flens = np.diff(of)
+            for fr_ in np.flatnonzero(flens >= 512):
+                if frag_rid[fr_] < per:
+                    fallback.add(d * per + int(frag_rid[fr_]))
+            for r in np.flatnonzero(oflow):
+                fallback.add(d * per + int(r))
+            shards.append((fl, of, frag_rid))
+
+        flat = np.stack([s[0] for s in shards])
+        off = np.stack([s[1] for s in shards])
+        rid = np.stack([s[2] for s in shards])
+
+        def put(arr, spec):
+            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+        sh = self.sh
+        diag, submat, subcode, subdiag = self._tabs
+        while True:
+            out = np.asarray(self._fn(per)(
+                put(sh.blocks_sh, P("index")), put(sh.occ_local, P("index")),
+                put(sh.shard_base, P()), put(sh.C, P()),
+                put(sh.sa_seq_sh, P("index")), put(sh.sa_off_sh, P("index")),
+                put(self._seed_rec, P()), put(self._seq_tax, P()),
+                put(self._parent, P()), put(self._depth, P()),
+                put(flat, P("data")), put(off, P("data")),
+                put(rid, P("data")),
+                put(diag, P()), put(submat, P()), put(subcode, P()),
+                put(subdiag, P()),
+            ))
+            n2 = int(out[:, per, 0].max())
+            n_surv = int(out[:, per, 1].max())
+            n_nodes = int(out[:, per, 2].max())
+            max_nv = int(out[:, per, 3].max())
+            n_ties = int(out[:, per, 4].max())
+            if (n2 <= self._m2 and n_surv <= self._ms
+                    and n_nodes <= self._mn and max_nv <= self._mv
+                    and n_ties <= self._mt):
+                break
+            self._m2 = min(
+                self._bucket(max(self._m2, n2), 4096),
+                self._bucket(int(flat.shape[1]), 4096),
+            )
+            self._ms = self._bucket(max(self._ms, n_surv), 4096)
+            self._mn = self._bucket(max(self._mn, n_nodes), 4096)
+            self._mv = self._bucket(max(self._mv, max_nv), 4096)
+            self._mt = self._bucket(max(self._mt, n_ties), 4096)
+
+        for d in range(D):
+            for r in range(per):
+                g = d * per + r
+                if g < len(reads) and (
+                    int(out[d, r, 2]) & (FLAG_TIE_OVER | FLAG_NEED_MORE)
+                ):
+                    fallback.add(g)
+        redo = {}
+        fb = sorted(g for g in fallback if g < len(reads))
+        if fb:
+            if self._host is None:
+                from ..engine.greedy_fast import GreedyFastPipeline
+
+                self._host = GreedyFastPipeline(self.index, self._tax, cfg)
+            sub = [reads[g] for g in fb]
+            for g, (_n, res) in zip(fb, self._host.classify_batch(sub)):
+                redo[g] = res
+
+        from ..constants import LAMBDA, LN_2, LN_K
+
+        results = []
+        for g, (name, s1, s2) in enumerate(reads):
+            if g in redo:
+                results.append((name, redo[g]))
+                continue
+            d, r = divmod(g, per)
+            lca, best, _fl, n_ids = (int(x) for x in out[d, r, :4])
+            if best <= 0 or n_ids == 0:
+                results.append((name, ClassifyResult(False, 0)))
+                continue
+            if cfg.use_Evalue:
+                qlen = (
+                    float(len(s1)) if cfg.input_is_protein
+                    else len(s1) / 3.0 + (len(s2) / 3.0 if s2 else 0.0)
+                )
+                bitscore = (LAMBDA * best - LN_K) / LN_2
+                evalue = (
+                    float(self.index.db_length) * qlen
+                    * self._math.pow(2.0, -bitscore)
+                )
+                if evalue > cfg.min_Evalue:
+                    results.append((name, ClassifyResult(False, 0)))
+                    continue
+            results.append((name, ClassifyResult(lca > 0, lca, score=best)))
+        return results
 
 
 class ShardedMemClassifier:

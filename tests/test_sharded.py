@@ -191,3 +191,44 @@ def test_sharded_classify_reads_retry_and_fallback(env):
         assert (g.classified, g.lca, g.score) == (
             res.classified, res.lca, res.score,
         ), name
+
+
+def test_sharded_greedy_classify_reads(env):
+    """Sharded Greedy (fused greedy_core under shard_map with
+    owner-computes ranks) must agree read-for-read with the exact
+    single-device GreedyFastPipeline, including the forced overflow
+    retry and the flagged-read host replay."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng, records, idx = env
+    from kaiju_tpu.engine.config import KaijuConfig
+    from kaiju_tpu.engine.greedy_fast import GreedyFastPipeline
+    from kaiju_tpu.io.taxonomy import Taxonomy
+    from kaiju_tpu.parallel.sharded_fused import ShardedGreedyClassifier
+    from kaiju_tpu.parallel.sharded_index import make_mesh
+
+    from readgen import make_reads
+
+    nodes = {1: 1, 10: 1, 100: 10, 200: 10, 300: 10,
+             101: 100, 102: 100, 103: 100, 201: 200, 202: 200, 301: 300}
+    tax = Taxonomy(nodes)
+    cfg = KaijuConfig(mode="greedy", mismatches=2)
+    reads = [(n, s, None) for n, s in make_reads(rng, records, n=32)]
+
+    mesh = make_mesh(n_index_shards=2)
+    cls = ShardedGreedyClassifier(idx, tax, cfg, mesh, n_index=2)
+    cls._mv = 4096
+    cls._mn = 4096
+    got = dict(cls.classify_reads(reads))
+
+    pipe = GreedyFastPipeline(idx, tax, cfg)
+    want = dict(pipe.classify_batch(reads))
+    for name, res in want.items():
+        g = got[name]
+        assert (g.classified, g.lca if g.classified else 0,
+                g.score if g.classified else 0) == (
+            res.classified, res.lca if res.classified else 0,
+            res.score if res.classified else 0,
+        ), name
