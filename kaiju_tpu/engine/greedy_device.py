@@ -188,9 +188,23 @@ class GreedyDevicePipeline:
         flat, chars, frag_off, n_frags, _keys, rf, oflow = (
             self._fragmenter2.run(reads, S, self._bucket)
         )
-        P = flat.shape[0]
+        # sticky shape buckets: pad ragged batches up to the largest
+        # (P, F) seen for this DB so ONE executable serves the whole
+        # stream (a second shape costs a compile + a multi-second
+        # executable load over the device tunnel)
+        P = max(flat.shape[0], self._caps.get("pmax", 0))
+        F = max(frag_off.shape[0] - 1, self._caps.get("fmax", 0))
+        self._caps.update(pmax=P, fmax=F)
+        if P > flat.shape[0]:
+            flat = np.concatenate(
+                [flat, np.zeros(P - flat.shape[0], np.uint8)]
+            )
+        if F > frag_off.shape[0] - 1:
+            frag_off = np.concatenate([
+                frag_off,
+                np.full(F + 1 - frag_off.shape[0], frag_off[-1], np.int32),
+            ])
         Bp = self._bucket(B, 512)
-        F = frag_off.shape[0] - 1
         # read id per fragment row (pad = Bp); rows only reachable via rf
         frag_rid = np.full(F, Bp, dtype=np.int32)
         rows = rf[rf >= 0]

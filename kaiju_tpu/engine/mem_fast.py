@@ -509,6 +509,20 @@ class MemFastPipeline(SaResolveMixin):
         flat, chars, frag_off, n_frags, _keys, rf, oflow = (
             self._fragmenter2.run(reads, S, self._bucket)
         )
+        # sticky shape buckets (see greedy_device.submit_batch): one
+        # executable per DB regardless of ragged batches
+        Pm = max(flat.shape[0], self._caps.get("pmax", 0))
+        Fm = max(frag_off.shape[0] - 1, self._caps.get("fmax", 0))
+        self._caps.update(pmax=Pm, fmax=Fm)
+        if Pm > flat.shape[0]:
+            flat = np.concatenate(
+                [flat, np.zeros(Pm - flat.shape[0], np.uint8)]
+            )
+        if Fm > frag_off.shape[0] - 1:
+            frag_off = np.concatenate([
+                frag_off,
+                np.full(Fm + 1 - frag_off.shape[0], frag_off[-1], np.int32),
+            ])
         P = flat.shape[0]
         # pad the read axis to a bucketed shape so ragged final batches
         # reuse the compiled executable (pad rows classify as U, dropped

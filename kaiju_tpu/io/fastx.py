@@ -140,3 +140,35 @@ def batched(iterator, batch_size: int):
             batch = []
     if batch:
         yield batch
+
+
+def prefetch_batches(iterator, batch_size: int, depth: int = 4):
+    """Producer-thread batching: parse runs in a background thread with a
+    bounded queue, overlapping file IO + parsing with classification —
+    the reference's producer thread + 500-slot ProducerConsumerQueue
+    (reference: kaiju.cpp:250-257,288-394).  The parser fills while the
+    consumer blocks on device fetches (which release the GIL)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def produce():
+        try:
+            for batch in batched(iterator, batch_size):
+                q.put(batch)
+            q.put(_END)
+        except BaseException as e:  # surface parse errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()

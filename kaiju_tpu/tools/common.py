@@ -62,7 +62,7 @@ def make_runner(index, taxonomy, cfg: KaijuConfig):
 def classify_stream(runner, reads_iter, out, cfg: KaijuConfig, batch_size=4096):
     """Stream reads in batches through the runner, writing TSV lines."""
     from ..engine.core import format_output_line, format_output_line_x
-    from ..io.fastx import batched
+    from ..io.fastx import prefetch_batches
 
     def emit(results):
         for name, res in results:
@@ -72,7 +72,7 @@ def classify_stream(runner, reads_iter, out, cfg: KaijuConfig, batch_size=4096):
                 out.write(format_output_line(name, res, cfg.verbose))
         out.flush()
 
-    batches = batched(reads_iter, batch_size)
+    batches = prefetch_batches(reads_iter, batch_size)
     if hasattr(runner, "classify_stream"):
         # pipelined: one batch of device lookahead
         for results in runner.classify_stream(batches):

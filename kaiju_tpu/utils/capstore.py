@@ -42,14 +42,21 @@ class CapStore:
         return {int(k): int(v) for k, v in m.items()}
 
     def update(self, **kv) -> None:
+        changed = False
         for k, v in kv.items():
             if isinstance(v, dict):
                 cur = self._data.setdefault(k, {})
                 for p, c in v.items():
-                    cur[str(p)] = max(int(cur.get(str(p), 0)), int(c))
+                    new = max(int(cur.get(str(p), 0)), int(c))
+                    if cur.get(str(p)) != new:
+                        cur[str(p)] = new
+                        changed = True
             else:
-                self._data[k] = max(int(self._data.get(k, 0)), int(v))
-        if self.path:
+                new = max(int(self._data.get(k, 0)), int(v))
+                if self._data.get(k) != new:
+                    self._data[k] = new
+                    changed = True
+        if changed and self.path:
             try:
                 tmp = self.path + ".tmp"
                 with open(tmp, "w") as fh:
