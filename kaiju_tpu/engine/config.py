@@ -28,6 +28,17 @@ class KaijuConfig:
     # (reference: src/ConsumerThreadx.cpp, ConsumerThreadp.cpp)
     taxonomy_free: bool = False
 
+    def cap_sig(self) -> str:
+        """Short signature of the knobs that shape device-lane capacity
+        needs; CapStore keys learned caps by it so one outlier
+        configuration cannot inflate every later run's padded shapes."""
+        parts = (
+            self.min_fragment_length, self.min_score, self.mismatches,
+            self.seed_length, self.max_matches_SI, int(self.seg),
+            int(self.input_is_protein),
+        )
+        return "c" + "-".join(str(p) for p in parts)
+
     def validate(self) -> None:
         if self.mode not in (MEM, GREEDY):
             raise ValueError(f"invalid mode {self.mode}")

@@ -129,7 +129,8 @@ class GreedyDevicePipeline:
         from ..utils.capstore import CapStore
 
         self._caps = CapStore(
-            kmer_cache_dir or index.source_dir, "greedy"
+            kmer_cache_dir or index.source_dir, "greedy",
+            sig=config.cap_sig(),
         )
         self._m2: dict[int, int] = self._caps.get_map("m2")
         self._ms = self._caps.get("ms", 16384)
@@ -189,12 +190,19 @@ class GreedyDevicePipeline:
             self._fragmenter2.run(reads, S, self._bucket)
         )
         # sticky shape buckets: pad ragged batches up to the largest
-        # (P, F) seen for this DB so ONE executable serves the whole
-        # stream (a second shape costs a compile + a multi-second
-        # executable load over the device tunnel)
-        P = max(flat.shape[0], self._caps.get("pmax", 0))
-        F = max(frag_off.shape[0] - 1, self._caps.get("fmax", 0))
-        self._caps.update(pmax=P, fmax=F)
+        # (P, F) seen for this DB at this read-count bucket so ONE
+        # executable serves the whole stream (a second shape costs a
+        # compile + a multi-second executable load over the device
+        # tunnel); keyed by read-count bucket so a one-off large-batch
+        # run cannot inflate smaller-batch runs
+        Bp0 = self._bucket(B, 512)
+        pmax_map = self._caps.get_map("pmax")
+        fmax_map = self._caps.get_map("fmax")
+        P = max(flat.shape[0],
+                pmax_map.get(Bp0, self._caps.get("pmax", 0)))
+        F = max(frag_off.shape[0] - 1,
+                fmax_map.get(Bp0, self._caps.get("fmax", 0)))
+        self._caps.update(pmax={Bp0: P}, fmax={Bp0: F})
         if P > flat.shape[0]:
             flat = np.concatenate(
                 [flat, np.zeros(P - flat.shape[0], np.uint8)]

@@ -1048,16 +1048,20 @@ class GreedyFastPipeline(SaResolveMixin):
     def submit_batch(self, reads):
         self._maybe_flush_caches()
         self._inflight += 1
-        frags_all, orders_all, keys_all = self._frag_seg.run(
-            reads, with_keys=True
-        )
-        guid = [self._uid(f) for f in frags_all]
-        orders = [[guid[u] for u in o] for o in orders_all]
-        keys_of = {}
-        for lu, gu in enumerate(guid):
-            keys_of[gu] = int(keys_all[lu])
-        self._compute_maps([u for o in orders for u in o])
-        return (reads, orders, keys_of)
+        try:
+            frags_all, orders_all, keys_all = self._frag_seg.run(
+                reads, with_keys=True
+            )
+            guid = [self._uid(f) for f in frags_all]
+            orders = [[guid[u] for u in o] for o in orders_all]
+            keys_of = {}
+            for lu, gu in enumerate(guid):
+                keys_of[gu] = int(keys_all[lu])
+            self._compute_maps([u for o in orders for u in o])
+            return (reads, orders, keys_of)
+        except BaseException:
+            self._inflight = max(0, self._inflight - 1)
+            raise
 
     def collect_batch(self, state):
         self._inflight = max(0, self._inflight - 1)

@@ -183,7 +183,9 @@ class MemFastPipeline(SaResolveMixin):
         self._bloom_lb = bl.lb if bl else 0
         from ..utils.capstore import CapStore
 
-        self._caps = CapStore(kmer_cache_dir or index.source_dir, "mem")
+        self._caps = CapStore(
+            kmer_cache_dir or index.source_dir, "mem", sig=config.cap_sig()
+        )
         # phase-2 lane capacity per P bucket / survivor-lane capacity of
         # the completion loops; persisted per DB (see utils/capstore.py)
         self._m2: dict[int, int] = self._caps.get_map("m2")
@@ -489,13 +491,19 @@ class MemFastPipeline(SaResolveMixin):
         device compute (the device queue stays busy)."""
         self._maybe_flush_caches()
         self._inflight += 1
-        if self._device_tail:
-            return self._submit_tail(reads)
-        frags, orders_local = self._fragmenter.run(reads)
-        guid = [self._uid(f) for f in frags]
-        orders = [[guid[u] for u in o] for o in orders_local]
-        pending = self._dispatch_maps([u for o in orders for u in o])
-        return ("host", reads, orders, pending)
+        try:
+            if self._device_tail:
+                return self._submit_tail(reads)
+            frags, orders_local = self._fragmenter.run(reads)
+            guid = [self._uid(f) for f in frags]
+            orders = [[guid[u] for u in o] for o in orders_local]
+            pending = self._dispatch_maps([u for o in orders for u in o])
+            return ("host", reads, orders, pending)
+        except BaseException:
+            # a failed submit never reaches collect_batch; undo the
+            # in-flight count so cache flushing keeps firing
+            self._inflight = max(0, self._inflight - 1)
+            raise
 
     # ---- fully-fused device path -------------------------------------
 
@@ -510,10 +518,17 @@ class MemFastPipeline(SaResolveMixin):
             self._fragmenter2.run(reads, S, self._bucket)
         )
         # sticky shape buckets (see greedy_device.submit_batch): one
-        # executable per DB regardless of ragged batches
-        Pm = max(flat.shape[0], self._caps.get("pmax", 0))
-        Fm = max(frag_off.shape[0] - 1, self._caps.get("fmax", 0))
-        self._caps.update(pmax=Pm, fmax=Fm)
+        # executable per DB regardless of ragged batches; keyed by the
+        # bucketed read count so a one-off large-batch run does not
+        # permanently inflate the padded shapes of smaller-batch runs
+        Bp0 = self._bucket(B, 512)
+        pmax_map = self._caps.get_map("pmax")
+        fmax_map = self._caps.get_map("fmax")
+        Pm = max(flat.shape[0],
+                 pmax_map.get(Bp0, self._caps.get("pmax", 0)))
+        Fm = max(frag_off.shape[0] - 1,
+                 fmax_map.get(Bp0, self._caps.get("fmax", 0)))
+        self._caps.update(pmax={Bp0: Pm}, fmax={Bp0: Fm})
         if Pm > flat.shape[0]:
             flat = np.concatenate(
                 [flat, np.zeros(Pm - flat.shape[0], np.uint8)]
@@ -538,14 +553,26 @@ class MemFastPipeline(SaResolveMixin):
         M2 = self._m2.setdefault(P, min(P // 8, 32768))
         Ms = self._ms
         args = (flat, frag_off, rf_rows)
+        textp, rank_start = self._hyb_arrays()
         out = fused_mem_classify(
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
             rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
-            self._parent, self._depth, None, self._bloom_words,
+            self._parent, self._depth, self.dev.rec2, self._bloom_words,
+            textp, rank_start,
             self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
             self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
             self.index.chpt_exp, self._bloom_m, self._bloom_lb, STRIP_W)
         return ("tail", reads, fallback, args, M2, Ms, out)
+
+    def _hyb_arrays(self):
+        """(textp, rank_start) for the text-comparison hybrid, or
+        (None, None) when the index ships no text copy or is too large
+        for the virtual-row encoding."""
+        from ..ops.fused_mem2 import VBASE
+
+        if self.dev.has_text and self.index.length < VBASE:
+            return self.dev.textp, self.dev.rank_start
+        return None, None
 
     def _collect_tail(self, state):
         from ..ops.fused_classify import (
@@ -573,10 +600,12 @@ class MemFastPipeline(SaResolveMixin):
             self._m2[P] = M2
             self._ms = Ms
             self._caps.update(m2=self._m2, ms=Ms)
+            textp, rank_start = self._hyb_arrays()
             out = fused_mem_classify(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
                 rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
-                self._parent, self._depth, None, self._bloom_words,
+                self._parent, self._depth, self.dev.rec2, self._bloom_words,
+                textp, rank_start,
                 self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
                 self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
                 self.index.chpt_exp, self._bloom_m, self._bloom_lb, STRIP_W,

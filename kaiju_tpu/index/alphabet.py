@@ -23,14 +23,30 @@ MAKEDB_ALPHABET = "*ACDEFGHIKLMNPQRSTVWY"
 # `-a protein` variant (alen = 22, wildcard = X)
 PROTEIN_ALPHABET = "*ACDEFGHIKLMNPQRSTVWYX"
 
+# mkbwt's named alphabets (reference: mkbwt.c:882-903 read_alphabet)
+NAMED_ALPHABETS = {
+    "DNA": "*ACGTN",
+    "RNA": "*ACGUN",
+    "protein": PROTEIN_ALPHABET,
+}
+
+# base complements for -r reverse-complement duplication
+# (reference: readFasta.c "complement is TGCAN for ACGTN")
+DNA_COMPLEMENT = str.maketrans("ACGTNacgtn", "TGCANtgcan")
+
+
+def revcomp_dna(seq: str) -> str:
+    return seq.translate(DNA_COMPLEMENT)[::-1]
+
 
 @lru_cache(maxsize=None)
-def trans_table(alphabet: str = MAKEDB_ALPHABET) -> np.ndarray:
+def trans_table(alphabet: str = MAKEDB_ALPHABET,
+                case_sens: bool = False) -> np.ndarray:
     """256-entry byte -> code table (int16; -1 = invalid non-letter).
 
     Mirrors translation_table (reference: sequence.c:68-97): alpha chars not
-    in the alphabet get the wildcard code (last letter), case-insensitive,
-    non-letters -> -1, NUL -> 0.
+    in the alphabet get the wildcard code (last letter), case-insensitive
+    unless case_sens (mkbwt -c), non-letters -> -1, NUL -> 0.
     """
     table = np.full(256, -1, dtype=np.int16)
     table[0] = 0
@@ -39,8 +55,10 @@ def trans_table(alphabet: str = MAKEDB_ALPHABET) -> np.ndarray:
         if chr(i).isalpha():
             table[i] = wildcard
     for code, ch in enumerate(alphabet):
-        table[ord(ch.upper())] = code
-        table[ord(ch.lower())] = code
+        table[ord(ch)] = code
+        if not case_sens:
+            table[ord(ch.upper())] = code
+            table[ord(ch.lower())] = code
     return table
 
 

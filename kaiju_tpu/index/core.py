@@ -192,6 +192,11 @@ class KaijuIndex:
             names = fh.read().decode("utf-8").split("\n")
         if names == [""]:
             names = []
+        text_path = os.path.join(path, "text.npy")
+        text = (
+            np.load(text_path, mmap_mode=mm) if os.path.exists(text_path)
+            else None
+        )
         return cls(
             alphabet=meta["alphabet"],
             bwt=_ld("bwt.npy"),
@@ -207,7 +212,20 @@ class KaijuIndex:
             seq_lengths=np.load(os.path.join(path, "seq_lengths.npy")),
             seq_term_order=np.load(os.path.join(path, "seq_term_order.npy")),
             source_dir=path,
+            text=text,
         )
+
+    def rank_text_starts(self) -> np.ndarray:
+        """int64 [nseq]: global start offset in `text` of the sequence
+        with content rank r.  `text` lays sequences out in INPUT order,
+        each followed by one 0 separator; an SA sample (iseq, off) maps
+        to global text position rank_text_starts()[iseq] + off."""
+        order = np.asarray(self.seq_term_order, dtype=np.int64)
+        lengths_in = np.empty(self.nseq, dtype=np.int64)
+        lengths_in[order] = np.asarray(self.seq_lengths, dtype=np.int64)
+        starts_in = np.zeros(self.nseq, dtype=np.int64)
+        np.cumsum(lengths_in[:-1] + 1, out=starts_in[1:])
+        return starts_in[order]
 
 
 def build_occ(bwt: np.ndarray, alen: int) -> tuple[np.ndarray, np.ndarray]:

@@ -153,22 +153,41 @@ def prefetch_batches(iterator, batch_size: int, depth: int = 4):
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    cancelled = threading.Event()
 
     def produce():
         try:
             for batch in batched(iterator, batch_size):
-                q.put(batch)
+                while not cancelled.is_set():
+                    try:
+                        q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if cancelled.is_set():
+                    return
             q.put(_END)
         except BaseException as e:  # surface parse errors to the consumer
-            q.put(e)
+            if not cancelled.is_set():
+                q.put(e)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer abandoned the generator (break / downstream exception)
+        # or finished: unblock and reap the producer either way
+        cancelled.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join()

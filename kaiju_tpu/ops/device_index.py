@@ -69,6 +69,9 @@ class DeviceIndex:
         self.alen = index.alen
         self._rec2 = None
         self._device = device
+        self._index = index
+        self._textp = None
+        self._rank_start = None
 
     @property
     def rec2(self):
@@ -81,6 +84,47 @@ class DeviceIndex:
             )
             self._rec2 = put(build_paired_records(self._rec_host))
         return self._rec2
+
+    @property
+    def has_text(self) -> bool:
+        return self._index.text is not None
+
+    @property
+    def textp(self):
+        """Paired 256-byte text rows: textp[b] = text[128b : 128b+256]
+        (int8 letter codes, 0 separators; end padded with 0).  One row
+        gather covers any 128-char window — the direct-comparison side
+        of the hybrid long-match extension (see fused_mem2)."""
+        if self._textp is None:
+            put = (
+                partial(jax.device_put, device=self._device)
+                if self._device
+                else jax.device_put
+            )
+            text = np.asarray(self._index.text, dtype=np.uint8)
+            n = text.shape[0]
+            ntb = (n + BLOCK - 1) // BLOCK
+            flat = np.zeros(ntb * BLOCK + BLOCK, dtype=np.uint8)
+            flat[:n] = text
+            tp = np.lib.stride_tricks.as_strided(
+                flat, shape=(ntb, 2 * BLOCK), strides=(BLOCK, 1)
+            )
+            self._textp = put(np.ascontiguousarray(tp.view(np.int8)))
+        return self._textp
+
+    @property
+    def rank_start(self):
+        """int32 [nseq]: global text start of the content-rank-r sequence."""
+        if self._rank_start is None:
+            put = (
+                partial(jax.device_put, device=self._device)
+                if self._device
+                else jax.device_put
+            )
+            self._rank_start = put(
+                self._index.rank_text_starts().astype(np.int32)
+            )
+        return self._rank_start
 
     @property
     def arrays(self):

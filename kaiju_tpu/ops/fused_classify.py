@@ -18,29 +18,38 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .fused_mem2 import _mem_stats, _search_phases
+from .fused_mem2 import _mem_stats, _search_phases, build_flatp
 
 FLAG_TIE_OVER = 1  # a contributing fragment had more ties than T
 FLAG_NEED_MORE = 2  # position budget R exhausted before the id cap
 
 
 @partial(jax.jit,
-         static_argnums=(13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25))
+         static_argnums=(15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27))
 def fused_mem_classify(
     rec, C, seed_rec, flat_codes, frag_off, rf_rows,
     sa_seq, sa_off, seq_tax, parent, depth, rec2, bloom_words,
+    textp, rank_start,
     K, j0, min_len, M2, Ms, T, R, cap, nseq, chpt_exp, m=0, lb=0, W=4,
 ):
     """rf_rows: int32 [B, S] — fragment row per (read, pop-order slot),
     -1 = pad.  parent/depth: int32 [max_taxid+1]; depth 0 = absent,
-    parent[1] = 1.  cap = max_match_ids.
+    parent[1] = 1.  cap = max_match_ids.  textp/rank_start: paired text
+    rows + per-content-rank text starts for the hybrid long-match
+    extension (None disables it).
 
     Returns packed int32 [B+1, 4]: (lca, score, flags, n_ids) per read;
     last row = (n2, n_surv, 0, 0) for the capacity retry.
     """
+    hyb = None
+    if textp is not None:
+        hyb = dict(
+            textp=textp, rank_start=rank_start, flatp=build_flatp(flat_codes),
+            sa_seq=sa_seq, sa_off=sa_off, nseq=nseq, chpt_exp=chpt_exp,
+        )
     ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
                         Ms, rec2=rec2, bloom_words=bloom_words, m=m, lb=lb,
-                        W=W)
+                        W=W, hyb=hyb)
     stats = _mem_stats(ph, min_len, T)
 
     def walk_fn(kf):
@@ -48,7 +57,7 @@ def fused_mem_classify(
 
     lca, longest, flags, n_ids = classify_tail(
         stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
-        nseq, chpt_exp,
+        nseq, chpt_exp, sw_ids=ph["sw_ids"],
     )
     out = jnp.stack([lca, longest, flags, n_ids], axis=1)
     scal = jnp.zeros((1, 4), jnp.int32)
@@ -129,12 +138,16 @@ def _sa_walk_local(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf):
 
 
 def ranges_lca(t_s0, t_s1, contrib, walk_fn, seq_tax, parent, depth, R, cap,
-               nseq, chpt_exp, any_fn=None):
+               nseq, chpt_exp, any_fn=None, sw_ids=None):
     """Shared classification tail: expand the per-read candidate SA
     ranges ([B, G] with a contrib mask) into the first R positions,
     resolve each via an SA walk, apply the reference's capped unique-id
     semantics (ConsumerThread.cpp:799-845) and the LCA climb
-    (util.cpp:194-263).  Returns (lca, n_ids, need_more, total)."""
+    (util.cpp:194-263).  Returns (lca, n_ids, need_more, total).
+
+    Rows with s0 >= VBASE are virtual pre-resolved rows from the hybrid
+    text-comparison extension (fused_mem2._staged_extend): their
+    positions index `sw_ids` directly instead of SA-walking."""
     anyf = any_fn or jnp.any
     B, G = t_s0.shape
     sizes = jnp.where(contrib, t_s1 - t_s0, 0)
@@ -163,11 +176,15 @@ def ranges_lca(t_s0, t_s1, contrib, walk_fn, seq_tax, parent, depth, R, cap,
     ].reshape(B, R)
     off = rr - cs_at
     pad_k = ((nseq >> chpt_exp) + 1) << chpt_exp
-    k0 = jnp.where(valid_pos, base + off, pad_k)
+    from .fused_mem2 import VBASE
+
+    pre = valid_pos & (base >= VBASE)  # virtual pre-resolved rows
+    walkable = valid_pos & ~pre
+    k0 = jnp.where(walkable, base + off, pad_k)
     # compact the real positions before the walk: most (read, r) lanes
     # are pads, and walk cost is gather-rate-bound per LANE per step
     NR = B * R
-    vflat = valid_pos.reshape(-1)
+    vflat = walkable.reshape(-1)
     kflat = k0.reshape(-1)
     slot = jnp.cumsum(vflat, dtype=jnp.int32) - 1
     n_walk = jnp.sum(vflat, dtype=jnp.int32)
@@ -188,6 +205,14 @@ def ranges_lca(t_s0, t_s1, contrib, walk_fn, seq_tax, parent, depth, R, cap,
         ],
         iseq_full,
     )
+    if sw_ids is not None:
+        sw_flat = sw_ids.reshape(-1)
+        pre_flat = pre.reshape(-1)
+        sw_idx = jnp.clip(
+            (base + off).reshape(-1) - VBASE, 0, sw_flat.shape[0] - 1
+        )
+        iseq = jnp.where(pre_flat, sw_flat[sw_idx], iseq)
+    vflat = valid_pos.reshape(-1)
 
     tax = jnp.where(
         vflat,
@@ -258,7 +283,7 @@ def ranges_lca(t_s0, t_s1, contrib, walk_fn, seq_tax, parent, depth, R, cap,
 
 
 def classify_tail(stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
-                  nseq, chpt_exp, any_fn=None):
+                  nseq, chpt_exp, any_fn=None, sw_ids=None):
     """Per-read MEM classification from per-fragment statistics: longest
     reduction, tie-range expansion, then the shared ranges_lca tail.
     Returns (lca, longest, flags, n_ids), each int32 [B]."""
@@ -284,7 +309,7 @@ def classify_tail(stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
 
     lca, n_ids, need_more, _total = ranges_lca(
         t_s0, t_s1, contrib_g, walk_fn, seq_tax, parent, depth, R, cap,
-        nseq, chpt_exp, any_fn=any_fn,
+        nseq, chpt_exp, any_fn=any_fn, sw_ids=sw_ids,
     )
     lca = jnp.where(longest > 0, lca, 0)
     flags = tie_over.astype(jnp.int32) * FLAG_TIE_OVER + (

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from .device_index import rank_row
 from .fused_classify import _sa_walk_local, ranges_lca
-from .fused_mem2 import _search_phases
+from .fused_mem2 import S1_STEPS, _search_phases
 
 FLAG_TIE_OVER = 1   # more ties than max_matches_SI -> host replay
 FLAG_NEED_MORE = 2  # SA position budget R exhausted before the id cap
@@ -120,6 +120,78 @@ def _extend_paired_overlay(rank_pair2, flat_codes, base, pos, subcode,
         lambda st: anyf(st[3]), body, (start_i, s0, s1, act & (start_i > 0))
     )
     return i, s0, s1
+
+
+def _extend_two_stage(rank_pair2, flat_codes, base, pos, subcode,
+                      start_i, s0, s1, act, cap2, any_fn=None):
+    """Two-stage resumed extension (maxMatches_withStart semantics,
+    reference: bwt.c:298-336): S1_STEPS fixed FM steps at full width kill
+    the spurious variants, then the true long matches compact into a
+    [cap2] buffer and run to completion at a fraction of the width — the
+    run-to-completion tail at full fan-out width was the dominant cost
+    of the variant levels.  Returns (i, s0, s1, n_surv); n_surv > cap2
+    means the compaction overflowed (caller retries bigger)."""
+    anyf = any_fn or jnp.any
+    N = act.shape[0]
+
+    def step(st, base_, pos_, sub_):
+        i, a0, a1, alive = st
+        x = i - 1
+        cpos = jnp.where(alive, base_ + x, 0)
+        c = jnp.where(x == pos_, sub_, flat_codes[cpos].astype(jnp.int32))
+        n0, n1 = rank_pair2(c, a0, a1, alive)
+        ok = alive & (n0 < n1)
+        a0 = jnp.where(ok, n0, a0)
+        a1 = jnp.where(ok, n1, a1)
+        i = jnp.where(ok, i - 1, i)
+        return i, a0, a1, ok & (i > 0)
+
+    act = act & (start_i > 0)
+
+    def s1_cond(st):
+        return (st[0] < S1_STEPS) & anyf(st[1][3])
+
+    def s1_body(st):
+        t, inner = st
+        return t + 1, step(inner, base, pos, subcode)
+
+    _, (i, a0, a1, alive) = jax.lax.while_loop(
+        s1_cond, s1_body, (jnp.int32(0), (start_i, s0, s1, act))
+    )
+
+    n_surv = jnp.sum(alive, dtype=jnp.int32)
+    slot = jnp.cumsum(alive, dtype=jnp.int32) - 1
+    slot = jnp.where(alive & (slot < cap2), slot, cap2)
+
+    def comp(vals, fill):
+        out = jnp.full((cap2 + 1,), fill, dtype=vals.dtype)
+        return out.at[slot].set(vals, mode="drop")[:cap2]
+
+    ci = comp(i, jnp.int32(0))
+    ca0 = comp(a0, jnp.int32(0))
+    ca1 = comp(a1, jnp.int32(0))
+    cb = comp(base, jnp.int32(0))
+    cp = comp(pos, jnp.int32(-2))
+    csub = comp(subcode, jnp.int32(0))
+    corig = comp(
+        jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0], jnp.int32(N)
+    )
+    calive = comp(alive, False)
+
+    def s2_body(st):
+        return step(st, cb, cp, csub)
+
+    fi, f0, f1, _ = jax.lax.while_loop(
+        lambda st: anyf(st[3]), s2_body, (ci, ca0, ca1, calive)
+    )
+
+    def scatter(res, vals):
+        idx = jnp.where(calive, corig, N)
+        return jnp.concatenate([res, res[:1]]).at[idx].set(
+            vals, mode="drop"
+        )[:N]
+
+    return scatter(i, fi), scatter(a0, f0), scatter(a1, f1), n_surv
 
 
 def _compact(mask, cap, *cols, fills=None):
@@ -359,9 +431,15 @@ def greedy_core(
 
         # resumed extension (maxMatches_withStart, bwt.c:298-336)
         start_i = jnp.where(p_ok, v_effL - v_matchlen, 0)
-        i_res, r0, r1 = _extend_paired_overlay(
+        cap2 = max(Mv // 4, 2048)
+        i_res, r0, r1, n_surv_v = _extend_two_stage(
             rank_pair2, flat_codes, frag_off[jnp.minimum(v_fid, F)],
-            v_qi - 1, v_code, start_i, n0, n1, p_ok, any_fn=any_fn,
+            v_qi - 1, v_code, start_i, n0, n1, p_ok, cap2, any_fn=any_fn,
+        )
+        # fold stage-2 overflow into the Mv retry channel: growing Mv
+        # past 4 * n_surv_v grows cap2 past the survivor count
+        max_nv = jnp.maximum(
+            max_nv, jnp.where(n_surv_v > cap2, 4 * n_surv_v, 0)
         )
         i_res = jnp.where(p_ok, i_res, 1)
         ml = v_effL - i_res

@@ -132,36 +132,205 @@ def _extend_paired(rec2, C, flat_codes, base, i, s0, s1, act):
 
 
 # ---------------------------------------------------------------------------
-# seeded, ladder-descent extension of a sparse lane set
+# hybrid long-match machinery: direct text comparison
 # ---------------------------------------------------------------------------
 
-LADDER_FLOOR = 2048  # smallest worklist rung
+SW_WCAP = 4      # max SA-interval width eligible for the text switch
+S1_STEPS = 12    # full-width FM burn-in steps after the K-char seed
+VBASE = 1 << 30  # tie rows >= VBASE are pre-resolved id rows (see below)
+
+
+def build_flatp(flat_codes):
+    """Paired 256-byte query rows from the flat fragment codes:
+    flatp[b] = flat[128b : 128b+256] (int8; out-of-range padded 0), the
+    query-side window source for the text-compare extension."""
+    P = flat_codes.shape[0]
+    Pb = (P + 127) // 128
+    pad = jnp.zeros((Pb * 128 - P + 128,), flat_codes.dtype)
+    fp = jnp.concatenate([flat_codes, pad])
+    return jnp.concatenate(
+        [fp[: Pb * 128].reshape(Pb, 128), fp[128:].reshape(Pb, 128)],
+        axis=1,
+    ).astype(jnp.int8)
+
+
+def _align_rev(R, a):
+    """out[:, u] = R[:, a - u] for u in 0..127 (R: [n, 256]); lanes with
+    a - u < 0 read 0.  Per-lane variable shift via 8 rounds of
+    static-shift + select (a dynamic per-lane gather along lanes would
+    be a slow lane-crossing op on TPU)."""
+    n, W2 = R.shape
+    RV = jax.lax.rev(R, (1,))
+    s = (W2 - 1) - a
+    for b in range(8):
+        sh = 1 << b
+        shifted = jnp.concatenate(
+            [RV[:, sh:], jnp.zeros((n, sh), R.dtype)], axis=1
+        )
+        RV = jnp.where(((s >> b) & 1)[:, None] > 0, shifted, RV)
+    return RV[:, :128]
+
+
+def _text_extend(textp, flatp, p, qg, avail_q, act, any_fn=None):
+    """Longest u such that text[p-1-t] == flat[qg-1-t] for all t < u,
+    t < avail_q, t < p, and the text char is a letter (> 0) — the
+    direct-comparison equivalent of running the FM extension loop for
+    one known occurrence, 128 chars per round (2 row gathers) instead
+    of one char per step."""
+    anyf = any_fn or jnp.any
+    n = p.shape[0]
+    ntb = textp.shape[0]
+    qtb = flatp.shape[0]
+
+    def body(st):
+        ext, cont = st
+        pe = p - ext
+        start_t = jnp.maximum(pe - 128, 0)
+        bt = start_t >> 7
+        Trow = textp[jnp.clip(jnp.where(cont, bt, 0), 0, ntb - 1)]
+        a_t = pe - 1 - (bt << 7)
+        qe = qg - ext
+        start_q = jnp.maximum(qe - 128, 0)
+        bq = start_q >> 7
+        Qrow = flatp[jnp.clip(jnp.where(cont, bq, 0), 0, qtb - 1)]
+        a_q = qe - 1 - (bq << 7)
+        Ta = _align_rev(Trow, a_t)
+        Qa = _align_rev(Qrow, a_q)
+        eq = (Ta == Qa) & (Ta > 0)
+        u = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+        limit = jnp.minimum(pe, avail_q - ext)
+        eqv = eq & (u < limit[:, None]) & cont[:, None]
+        run = jnp.sum(
+            jnp.cumsum(jnp.where(eqv, 0, 1), axis=1) == 0,
+            axis=1, dtype=jnp.int32,
+        )
+        ext = ext + jnp.where(cont, run, 0)
+        cont = cont & (run == 128) & (ext < avail_q) & (ext < p)
+        return ext, cont
+
+    ext, _ = jax.lax.while_loop(
+        lambda st: anyf(st[1]), body,
+        (jnp.zeros((n,), jnp.int32), act & (avail_q > 0) & (p > 0)),
+    )
+    return ext
+
+
+def _walk_pos(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf, any_fn=None):
+    """Batched get_suffix returning BOTH (iseq, pos)
+    (reference: bwt.c:105-121); kf: int32 [N] SA positions, pads should
+    be positions divisible by 2^chpt_exp."""
+    anyf = any_fn or jnp.any
+    check = (1 << chpt_exp) - 1
+    nb1 = rec.shape[0]
+    N = kf.shape[0]
+
+    def sample(k, steps):
+        idx = (k >> chpt_exp) - ((nseq - 1) >> chpt_exp) - 1
+        idx = jnp.clip(idx, 0, sa_seq.shape[0] - 1)
+        return sa_seq[idx], sa_off[idx] + steps
+
+    steps = jnp.zeros(N, jnp.int32)
+    done = (kf & check) == 0
+    iseq, pos = sample(kf, steps)
+
+    def body(st):
+        k, steps, done, iseq, pos = st
+        b = k >> 7
+        row = rec[jnp.minimum(b, nb1 - 1)]
+        occ_row = row[:, :32]
+        words = row[:, 32:].astype(jnp.uint32)
+        offw = k & 127
+        wlane = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
+        shift = ((offw & 3) * 8).astype(jnp.uint32)
+        c = jnp.sum(
+            jnp.where(
+                wlane == (offw >> 2)[:, None],
+                (words >> shift[:, None]) & 255,
+                0,
+            ),
+            axis=1, dtype=jnp.int32,
+        )
+        cnt = jnp.zeros(c.shape, jnp.int32)
+        cu = c.astype(jnp.uint32)[:, None]
+        for t in range(4):
+            byt = (words >> (8 * t)) & 255
+            th = ((offw - t + 3) >> 2)[:, None]
+            cnt = cnt + jnp.sum(
+                (byt == cu) & (wlane < th), axis=1, dtype=jnp.int32
+            )
+        basew = jnp.sum(
+            jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, occ_row.shape, 1)
+                == c[:, None],
+                occ_row, 0,
+            ),
+            axis=1,
+        )
+        k_new = C[c] + basew + cnt
+        hit_term = ~done & (c == 0)
+        iseq = jnp.where(hit_term, k_new, iseq)
+        pos = jnp.where(hit_term, steps, pos)
+        stepping = ~done & ~hit_term
+        k = jnp.where(stepping, k_new, k)
+        steps = jnp.where(stepping, steps + 1, steps)
+        at_chk = stepping & ((k & check) == 0)
+        s_iseq, s_pos = sample(k, steps)
+        iseq = jnp.where(at_chk, s_iseq, iseq)
+        pos = jnp.where(at_chk, s_pos, pos)
+        done = done | hit_term | at_chk
+        return k, steps, done, iseq, pos
+
+    _, _, _, iseq, pos = jax.lax.while_loop(
+        lambda st: anyf(~st[2]), body, (kf, steps, done, iseq, pos)
+    )
+    return iseq, pos
+
+
+# ---------------------------------------------------------------------------
+# seeded, two-stage extension of a sparse lane set
+# ---------------------------------------------------------------------------
+
+LADDER_FLOOR = 2048  # smallest worklist rung (legacy ladder)
 
 
 def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
                    lane_fid, lane_j, act, K, cap0,
-                   rank_pair=None, any_fn=None, count_fn=None, rec2=None):
+                   rank_pair=None, any_fn=None, count_fn=None, rec2=None,
+                   hyb=None):
     """Evaluate the maximal backward extension ending at each active lane.
 
-    kid: PER-LANE K-mer id [N]; lane_fid/lane_j: fragment id and
-    local end position per lane; act: lanes to evaluate.  Lanes compact
-    into a [cap0] buffer, seed from the K-mer table, then descend a
-    halving capacity ladder: at each rung the worklist extends only
-    until the live count fits the next rung, then survivors compact
-    down.  TPU gathers are row-rate bound, so the gather bill tracks the
-    LIVE lane count (<= 2x true work) instead of the static capacity;
-    rungs whose live count already fits the next capacity cost zero
-    extension steps.  Everything is branch-free: lax.cond copies its
-    operands on TPU, which costs more than an idle while_loop.
+    kid: PER-LANE K-mer id [N]; lane_fid/lane_j: fragment id and local
+    end position per lane; act: lanes to evaluate.  Two stages:
 
-    Returns (i, s0, s1) per input lane -- inactive lanes get
-    (lane_j + 1, 0, 0), i.e. a length-0 result -- plus `need`, the
-    buffer capacity that would have sufficed (> cap0 means retry
-    bigger; the ladder itself never drops lanes), and `bill`, a
-    diagnostic: the sum of rung size over extension steps.
+      burn-in  lanes compact into a [cap0] buffer, seed from the K-mer
+               table, then take S1_STEPS fixed FM steps at full width —
+               deep enough (K + S1_STEPS chars) that random-text lanes
+               are dead and survivors are true long matches.
+      finish   survivors compact into a [cap0 // 2] buffer.  Without
+               `hyb`, they FM-step to completion at the compacted
+               width.  With `hyb` (single-chip fused programs), lanes
+               whose SA interval is <= SW_WCAP wide switch to DIRECT
+               TEXT COMPARISON: one SA walk per occurrence resolves a
+               text position, then 128 characters compare per row
+               gather (_text_extend) instead of one per FM step —
+               long matches cost ~3 sequential rounds instead of
+               hundreds.  Wide-interval lanes stay on the FM loop.
+
+    Returns (i, s0, s1) per input lane — inactive lanes get
+    (lane_j + 1, 0, 0), i.e. a length-0 result — plus `need` (a
+    capacity that would have sufficed; > cap0 means retry bigger),
+    `bill` (diagnostic gather-step bill) and `sw_ids` (with hyb: the
+    [cap0 // 2, SW_WCAP] pre-resolved sequence indices backing
+    VBASE-encoded virtual result rows, else None).
+
+    Virtual rows: a switched lane's result interval is
+    (VBASE + (voff + row) * SW_WCAP, same + n_occurrences) — not SA
+    positions, but an index into sw_ids where the FINAL interval's
+    sequence indices already sit in SA order (LF steps are monotone, so
+    surviving occurrences keep their relative order; the id list equals
+    ids_from_SI's, reference: ConsumerThread.cpp:799-845).
     """
     anyf = any_fn or jnp.any
-    countf = count_fn or (lambda x: jnp.sum(x, dtype=jnp.int32))
     N = act.shape[0]
     n_act = jnp.sum(act, dtype=jnp.int32)
     slot = jnp.cumsum(act, dtype=jnp.int32) - 1
@@ -210,61 +379,120 @@ def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
             vals, mode="drop"
         )[:N]
 
-    floor = min(cap0, LADDER_FLOOR)
-    caps = []
-    c = cap0
-    while c > floor:
-        caps.append(c)
-        c //= 2
-    caps.append(floor)
+    def fm_step(st, base):
+        if rank_pair is None and rec2 is not None:
+            return _paired_step(rec2, C, flat_codes, base, st)
+        return _step2(rec, C, flat_codes, base, st, rank_pair)
 
-    bill = jnp.int32(0)  # gather-step bill: sum of rung size per step
-    entry = cact  # first rung scatters seed-killed lanes too
-    for cap in caps:
-        is_last = cap == floor
+    # ---- stage 1: fixed-trip burn-in at full width ---------------------
+    def s1_cond(st):
+        return (st[0] < S1_STEPS) & anyf(st[1][3])
 
-        def cond(st, cap=cap, is_last=is_last):
-            a = st[1][3]
-            if is_last:
-                return anyf(a)
-            return anyf(a) & (countf(a) > cap // 2)
+    def s1_body(st):
+        t, inner = st
+        return t + 1, fm_step(inner, cbase)
 
-        def body(st, cap=cap, cbase=cbase):
-            b, inner = st
-            if rank_pair is None and rec2 is not None:
-                # one paired-row gather per step (per-gather fixed cost
-                # dominates at rung widths; see ROOFLINE.md)
-                nxt = _paired_step(rec2, C, flat_codes, cbase, inner)
-            else:
-                nxt = _step2(rec, C, flat_codes, cbase, inner, rank_pair)
-            return (b + cap, nxt)
+    nsteps, (ci, cs0, cs1, alive) = jax.lax.while_loop(
+        s1_cond, s1_body, (jnp.int32(0), (ci, cs0, cs1, alive))
+    )
+    bill = nsteps * cap0
+    res_i = scatter(res_i, corig, ci, cact)
+    res_s0 = scatter(res_s0, corig, cs0, cact)
+    res_s1 = scatter(res_s1, corig, cs1, cact)
 
-        bill, (ci, cs0, cs1, alive) = jax.lax.while_loop(
-            cond, body, (bill, (ci, cs0, cs1, alive))
+    # ---- stage 2: compact survivors, finish --------------------------
+    cap_sw = max(cap0 // 2, 128)
+    n_alive1 = jnp.sum(alive, dtype=jnp.int32)
+    need = jnp.maximum(n_act, 2 * n_alive1)
+    slot2 = jnp.cumsum(alive, dtype=jnp.int32) - 1
+    slot2 = jnp.where(alive & (slot2 < cap_sw), slot2, cap_sw)
+
+    def comp2(vals, fill):
+        out = jnp.full((cap_sw + 1,), fill, dtype=vals.dtype)
+        return out.at[slot2].set(vals, mode="drop")[:cap_sw]
+
+    ci2 = comp2(ci, jnp.int32(0))
+    cs02 = comp2(cs0, jnp.int32(0))
+    cs12 = comp2(cs1, jnp.int32(0))
+    cbase2 = comp2(cbase, jnp.int32(0))
+    corig2 = comp2(corig, jnp.int32(N))
+    alive2 = comp2(alive, False)
+    sw_ids = None
+
+    if hyb is None:
+        fm_lanes = alive2
+    else:
+        width = jnp.where(alive2, cs12 - cs02, SW_WCAP + 1)
+        narrow = alive2 & (width <= SW_WCAP)
+        fm_lanes = alive2 & ~narrow
+
+        # one SA walk per occurrence of each narrow lane
+        w = jax.lax.broadcasted_iota(jnp.int32, (cap_sw, SW_WCAP), 1)
+        s_val = narrow[:, None] & (w < width[:, None])
+        chpt = hyb["chpt_exp"]
+        pad_k = ((hyb["nseq"] >> chpt) + 1) << chpt
+        kf = jnp.where(s_val, cs02[:, None] + w, pad_k).reshape(-1)
+        iseq, pos = _walk_pos(
+            rec, C, hyb["sa_seq"], hyb["sa_off"], hyb["nseq"], chpt, kf,
+            any_fn=any_fn,
         )
-        res_i = scatter(res_i, corig, ci, entry)
-        res_s0 = scatter(res_s0, corig, cs0, entry)
-        res_s1 = scatter(res_s1, corig, cs1, entry)
-        if is_last:
-            break
-        # compact live lanes (now guaranteed <= cap//2) down a rung
-        cap_next = cap // 2
-        slot2 = jnp.cumsum(alive, dtype=jnp.int32) - 1
-        slot2 = jnp.where(alive & (slot2 < cap_next), slot2, cap_next)
+        # occurrence start in the global text, then compare backwards
+        p = jnp.where(
+            s_val.reshape(-1),
+            hyb["rank_start"][jnp.clip(iseq, 0, hyb["rank_start"].shape[0] - 1)]
+            + pos,
+            0,
+        )
+        qg = jnp.broadcast_to(
+            (cbase2 + ci2)[:, None], (cap_sw, SW_WCAP)
+        ).reshape(-1)
+        avail_q = jnp.broadcast_to(ci2[:, None], (cap_sw, SW_WCAP)).reshape(-1)
+        ext = _text_extend(
+            hyb["textp"], hyb["flatp"], p, qg, avail_q,
+            s_val.reshape(-1), any_fn=any_fn,
+        ).reshape(cap_sw, SW_WCAP)
+        ext = jnp.where(s_val, ext, -1)
+        maxext = jnp.max(ext, axis=1)
+        ach = s_val & (ext == maxext[:, None])
+        n_ach = jnp.sum(ach, axis=1, dtype=jnp.int32)
+        # compact achieving occurrence ids to the front of each row
+        # (ascending w == ascending SA order, preserved by LF monotony)
+        rank_w = jnp.cumsum(ach.astype(jnp.int32), axis=1) - 1
+        iseq2 = iseq.reshape(cap_sw, SW_WCAP)
+        sw_ids = jnp.zeros((cap_sw, SW_WCAP), jnp.int32)
+        for cslot in range(SW_WCAP):
+            sw_ids = sw_ids.at[:, cslot].set(
+                jnp.sum(
+                    jnp.where(ach & (rank_w == cslot), iseq2, 0), axis=1
+                )
+            )
+        vrow = (
+            hyb.get("voff", 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (cap_sw, 1), 0)[:, 0]
+        )
+        sw_i = ci2 - jnp.maximum(maxext, 0)
+        sw_s0 = VBASE + vrow * SW_WCAP
+        sw_s1 = sw_s0 + jnp.maximum(n_ach, 1)
+        res_i = scatter(res_i, corig2, sw_i, narrow)
+        res_s0 = scatter(res_s0, corig2, sw_s0, narrow)
+        res_s1 = scatter(res_s1, corig2, sw_s1, narrow)
 
-        def comp2(vals, fill, slot2=slot2, cap_next=cap_next):
-            out = jnp.full((cap_next + 1,), fill, dtype=vals.dtype)
-            return out.at[slot2].set(vals, mode="drop")[:cap_next]
+    # FM completion for the remaining (wide-interval / non-hyb) lanes
+    def s2_cond(st):
+        return anyf(st[1][3])
 
-        ci = comp2(ci, jnp.int32(0))
-        cs0 = comp2(cs0, jnp.int32(0))
-        cs1 = comp2(cs1, jnp.int32(0))
-        cbase = comp2(cbase, jnp.int32(0))
-        corig = comp2(corig, jnp.int32(N))
-        alive = comp2(alive, False)
-        entry = alive
+    def s2_body(st):
+        b, inner = st
+        return b + cap_sw, fm_step(inner, cbase2)
 
-    return res_i, res_s0, res_s1, n_act, bill
+    bill, (fi, fs0, fs1, _) = jax.lax.while_loop(
+        s2_cond, s2_body, (bill, (ci2, cs02, cs12, fm_lanes))
+    )
+    res_i = scatter(res_i, corig2, fi, fm_lanes)
+    res_s0 = scatter(res_s0, corig2, fs0, fm_lanes)
+    res_s1 = scatter(res_s1, corig2, fs1, fm_lanes)
+
+    return res_i, res_s0, res_s1, need, bill, sw_ids
 
 
 # ---------------------------------------------------------------------------
@@ -286,11 +514,12 @@ def _bloom_hash(cu, m):
 
 def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
                    rec2=None, bloom_words=None, m=0, lb=0, W=4,
-                   rank_pair=None, any_fn=None, count_fn=None):
+                   rank_pair=None, any_fn=None, count_fn=None, hyb=None):
     """Screen + strip + remainder over the flat fragment layout.
 
     bloom_words/m/lb: the m-mer presence bitmap (None/0 = no screening —
     every usable position is evaluated; same results, more work).
+    hyb: text-comparison hybrid arrays (see _staged_extend) or None.
     Returns the per-lane results of both phases (strip grid [F, W] with
     ascending j, remainder buffer [M2]) plus jstop and overflow counts.
 
@@ -336,11 +565,12 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     else:
         act1 = sv
     fgrid = jax.lax.broadcasted_iota(jnp.int32, (F, W), 0)
-    i1, s01, s11, need1, bill1 = _staged_extend(
+    hyb1 = dict(hyb, voff=0) if hyb is not None else None
+    i1, s01, s11, need1, bill1, sw1 = _staged_extend(
         rec, C, seed_rec, flat_codes,
         frag_off, kid1, fgrid.reshape(-1), strip_j.reshape(-1), act1,
         K, Ms, rank_pair=rank_pair, any_fn=any_fn, count_fn=count_fn,
-        rec2=rec2,
+        rec2=rec2, hyb=hyb1,
     )
     i1g = i1.reshape(F, W)
     s01g = s01.reshape(F, W)
@@ -401,11 +631,17 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     fid2 = compact(fid, jnp.int32(0))
     j2 = compact(j_local, jnp.int32(0))
     kid2 = compact(kid, jnp.int32(0))
-    i2, s02, s12, need2x, bill2 = _staged_extend(
+    hyb2 = (
+        dict(hyb, voff=max(Ms // 2, 128)) if hyb is not None else None
+    )
+    i2, s02, s12, need2x, bill2, sw2 = _staged_extend(
         rec, C, seed_rec, flat_codes,
         frag_off, kid2, fid2, j2, v2, K, M2,
         rank_pair=rank_pair, any_fn=any_fn, count_fn=count_fn,
-        rec2=rec2,
+        rec2=rec2, hyb=hyb2,
+    )
+    sw_ids = (
+        jnp.concatenate([sw1, sw2], axis=0) if hyb is not None else None
     )
     len2 = j2 - i2 + 1
 
@@ -424,7 +660,7 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
         i1g=i1g, s01g=s01g, s11g=s11g, len1=len1,
         pos2=pos2, v2=v2, fid2=fid2, j2=j2, i2=i2, s02=s02, s12=s12,
         len2=len2, jstop=jstop, seg_max=seg_max,
-        n2=n2, nsurv=need1, bill1=bill1, bill2=bill2,
+        n2=n2, nsurv=need1, bill1=bill1, bill2=bill2, sw_ids=sw_ids,
     )
 
 

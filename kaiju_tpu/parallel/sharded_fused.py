@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..engine.greedy_device import QLCAP
 from ..index.core import BLOCK
 from ..ops.fused_classify import classify_tail
 from ..ops.fused_mem2 import _mem_stats, _search_phases
@@ -408,7 +409,7 @@ class ShardedGreedyClassifier:
             )[rf >= 0]
             frag_rid[rows] = rids
             flens = np.diff(of)
-            for fr_ in np.flatnonzero(flens >= 512):
+            for fr_ in np.flatnonzero(flens >= QLCAP):
                 if frag_rid[fr_] < per:
                     fallback.add(d * per + int(frag_rid[fr_]))
             for r in np.flatnonzero(oflow):

@@ -59,6 +59,37 @@ def make_runner(index, taxonomy, cfg: KaijuConfig):
     return BatchRunner(index, taxonomy, cfg)
 
 
+def print_verbose_parameters(cfg: KaijuConfig, args, multi=False) -> None:
+    """-v startup parameter dump, line-identical to the reference
+    (reference: src/kaiju.cpp:204-221, kaiju-multi.cpp:205-219)."""
+    err = sys.stderr
+    err.write("Parameters: \n")
+    err.write(
+        f"  run mode: {'MEM' if cfg.mode == 'mem' else 'Greedy'}\n"
+    )
+    err.write(f"  minimum match length: {cfg.min_fragment_length}\n")
+    if cfg.mode == "greedy":
+        err.write(f"  seed length: {cfg.seed_length}\n")
+        err.write(
+            f"  minimum blosum62 score for matches: {cfg.min_score}\n"
+        )
+        err.write(f"  minimum E-value: {cfg.min_Evalue:g}\n")
+        err.write(
+            f"  max number of mismatches within a match: {cfg.mismatches}\n"
+        )
+    s = "s" if multi else ""
+    err.write(f"  input file{s} 1: {args.input1}\n")
+    if getattr(args, "input2", None):
+        err.write(f"  input file{s} 2: {args.input2}\n")
+    if multi:
+        err.write(f"  output files: {getattr(args, 'output', '') or ''}\n")
+    elif getattr(args, "output", None):
+        err.write(f"  output file: {args.output}\n")
+    else:
+        err.write("  output to STDOUT\n")
+    err.flush()
+
+
 def classify_stream(runner, reads_iter, out, cfg: KaijuConfig, batch_size=4096):
     """Stream reads in batches through the runner, writing TSV lines."""
     from ..engine.core import format_output_line, format_output_line_x

@@ -38,6 +38,10 @@ def main(argv=None):
         print("Error: Protein input only supports one input file.", file=sys.stderr)
         return 1
     cfg = config_from_args(args)
+    if cfg.verbose:
+        from .common import print_verbose_parameters
+
+        print_verbose_parameters(cfg, args)
     index = load_index(args.fmi)
     tax = Taxonomy(parse_nodes_dmp(args.nodes))
     runner = make_runner(index, tax, cfg)

@@ -36,6 +36,10 @@ def main(argv=None):
         return 1
 
     cfg = config_from_args(args)
+    if cfg.verbose:
+        from .common import print_verbose_parameters
+
+        print_verbose_parameters(cfg, args, multi=True)
     index = load_index(args.fmi)
     tax = Taxonomy(parse_nodes_dmp(args.nodes))
     runner = make_runner(index, tax, cfg)

@@ -22,7 +22,16 @@ def main(argv=None):
     ap.add_argument("-e", dest="chpt_exp", type=int, default=3,
                     help="SA sample spacing exponent (default 3)")
     ap.add_argument("-a", dest="alphabet", default="ACDEFGHIKLMNPQRSTVWY",
-                    help="letter alphabet (terminator is implicit)")
+                    help="letter alphabet (terminator is implicit), or "
+                         "DNA / RNA / protein (reference: mkbwt.c:882-903)")
+    ap.add_argument("-r", dest="revcomp", action="store_true",
+                    help="append the reverse complement of every sequence "
+                         "(DNA only; reference: readFasta.c:187-205)")
+    ap.add_argument("-s", dest="revsort", action="store_true",
+                    help="terminators sort as reversed sequences instead "
+                         "of input order (reference: mkbwt.c:803-817)")
+    ap.add_argument("-c", dest="case_sens", action="store_true",
+                    help="case-sensitive sequence reading")
     ap.add_argument("--from-fmi", dest="from_fmi",
                     help="convert a reference .fmi instead of building from FASTA")
     ap.add_argument("--kmer", dest="kmer", action="store_true",
@@ -38,9 +47,40 @@ def main(argv=None):
             ap.error("need an input FASTA (or --from-fmi)")
         records = read_fasta_records(args.input)
         print(f"read {len(records)} sequences", file=sys.stderr)
-        alphabet = "*" + args.alphabet
-        index = native_builder.build_index(
-            records, chpt_exp=args.chpt_exp, alphabet=alphabet
+        from ..index.alphabet import (
+            NAMED_ALPHABETS,
+            revcomp_dna,
+            trans_table,
+        )
+
+        alphabet = NAMED_ALPHABETS.get(args.alphabet, "*" + args.alphabet)
+        if args.revcomp:
+            if args.alphabet not in ("DNA", "RNA"):
+                ap.error("-r (reverse complement) works only for DNA/RNA")
+            records = records + [
+                (name, revcomp_dna(seq)) for name, seq in records
+            ]
+        import numpy as np
+
+        table = trans_table(alphabet, case_sens=args.case_sens)
+        names_in = [name for name, _ in records]
+        seqs = []
+        for _, seq in records:
+            raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+            codes = table[raw]
+            seqs.append(codes[codes > 0].astype(np.uint8))
+        if args.revsort:
+            # terminator order = ascending order of REVERSED sequences
+            # (reference: mkbwt.c compare_strings_reverse / revSortSeqs);
+            # feeding records in that order makes the builders' natural
+            # input-order terminator tie-break produce the revsort BWT
+            order = sorted(
+                range(len(seqs)), key=lambda i: bytes(seqs[i][::-1])
+            )
+            names_in = [names_in[i] for i in order]
+            seqs = [seqs[i] for i in order]
+        index = native_builder.build_index_from_codes(
+            names_in, seqs, chpt_exp=args.chpt_exp, alphabet=alphabet
         )
     print(
         f"index built in {time.time()-t0:.1f}s: length={index.length} "

@@ -19,14 +19,40 @@ from typing import Optional
 
 
 class CapStore:
-    def __init__(self, cache_dir: Optional[str], name: str):
+    """Caps are keyed by a config signature: runs with different search
+    knobs (mismatches, min_score, batch shape, ...) have different
+    steady-state needs, and one outlier configuration must not inflate
+    the padded shapes of every later run against the same DB.  Set
+    KAIJU_TPU_RESET_CAPS=1 to discard learned caps for this signature.
+    """
+
+    def __init__(self, cache_dir: Optional[str], name: str,
+                 sig: Optional[str] = None):
+        suffix = f"_{sig}" if sig else ""
         self.path = (
-            os.path.join(cache_dir, f"caps_{name}.json") if cache_dir else None
+            os.path.join(cache_dir, f"caps_{name}{suffix}.json")
+            if cache_dir
+            else None
         )
         self._data: dict = {}
-        if self.path and os.path.exists(self.path):
+        if os.environ.get("KAIJU_TPU_RESET_CAPS"):
+            return
+        load_path = self.path
+        if (
+            load_path
+            and not os.path.exists(load_path)
+            and sig
+            and cache_dir
+        ):
+            # seed a fresh signature-keyed store from the legacy flat
+            # file (pre-signature caps) so existing DBs keep their
+            # learned steady state instead of recompiling from scratch
+            legacy = os.path.join(cache_dir, f"caps_{name}.json")
+            if os.path.exists(legacy):
+                load_path = legacy
+        if load_path and os.path.exists(load_path):
             try:
-                with open(self.path) as fh:
+                with open(load_path) as fh:
                     self._data = json.load(fh)
             except (OSError, ValueError):
                 self._data = {}
@@ -45,7 +71,9 @@ class CapStore:
         changed = False
         for k, v in kv.items():
             if isinstance(v, dict):
-                cur = self._data.setdefault(k, {})
+                cur = self._data.get(k)
+                if not isinstance(cur, dict):  # legacy scalar entry
+                    cur = self._data[k] = {}
                 for p, c in v.items():
                     new = max(int(cur.get(str(p), 0)), int(c))
                     if cur.get(str(p)) != new:

@@ -76,6 +76,7 @@ def main():
             pipe.dev.rec, pipe.dev.C, pipe._seed_rec, flat, frag_off,
             rf_rows, pipe.dev.sa_seq, pipe.dev.sa_off, pipe._seq_tax,
             pipe._parent, pipe._depth, pipe.dev.rec2, pipe._bloom_words,
+            *pipe._hyb_arrays(),
             pipe.seed_K, j0, cfg.min_fragment_length, M2, Ms, 8,
             pipe.R_BUDGET, cfg.max_match_ids, index.nseq,
             index.chpt_exp, pipe._bloom_m, pipe._bloom_lb, 4)
@@ -91,6 +92,7 @@ def main():
                 pipe.dev.rec, pipe.dev.C, pipe._seed_rec, flat, frag_off,
                 rf_rows, pipe.dev.sa_seq, pipe.dev.sa_off, pipe._seq_tax,
                 pipe._parent, pipe._depth, pipe.dev.rec2, pipe._bloom_words,
+                *pipe._hyb_arrays(),
                 pipe.seed_K, j0, cfg.min_fragment_length, M2, Ms, 8,
                 pipe.R_BUDGET, cfg.max_match_ids, index.nseq,
                 index.chpt_exp, pipe._bloom_m, pipe._bloom_lb, 4)

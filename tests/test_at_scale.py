@@ -66,7 +66,7 @@ def _oracle_lines(env, reads, mode, tmp_path):
     cmd = [os.path.join(ORACLE_BIN, "kaiju"), "-t", env["nodes"],
            "-f", env["fmi"], "-i", rp, "-z", "5", "-o", out]
     if mode == "mem":
-        cmd += ["-a", "mem", "-X"]
+        cmd += ["-a", "mem"]  # SEG on (default), matching the pipeline
     subprocess.run(cmd, check=True, capture_output=True)
     return sorted(open(out).read().splitlines())
 
@@ -82,7 +82,7 @@ def _mine_lines(env, reads, mode):
     if mode == "mem":
         from kaiju_tpu.engine.mem_fast import MemFastPipeline
 
-        cfg = KaijuConfig(mode="mem", seg=False, use_Evalue=False)
+        cfg = KaijuConfig(mode="mem", seg=True, use_Evalue=False)
         pipe = MemFastPipeline(env["index"], tax, cfg,
                                kmer_cache_dir=kdir, source_fasta=fasta)
     else:

@@ -43,12 +43,12 @@ def test_debug_trace_parity(db_env, tmp_path, mode):
     rp = str(tmp_path / "reads.fastq")
     _write_fastq(reads, rp)
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     res = subprocess.run(
         [sys.executable, "-m", "kaiju_tpu.tools.kaiju",
          "-t", db_env["nodes"], "-f", db_env["fmi"], "-i", rp,
          "-a", mode, "-d", "-o", str(tmp_path / "mine.out")],
-        capture_output=True, text=True, env=env,
+        capture_output=True, text=True, env=env, timeout=600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert res.returncode == 0, res.stderr

@@ -186,3 +186,56 @@ def test_big_builder_matches_sais_builder():
         np.testing.assert_array_equal(a.sa_off, b.sa_off)
         assert a.names == b.names
         np.testing.assert_array_equal(a.seq_term_order, b.seq_term_order)
+
+
+@needs_oracle
+@pytest.mark.parametrize("flags", [[], ["-s"], ["-r"], ["-r", "-s"]])
+def test_mkdb_dna_options_vs_mkbwt(tmp_path, flags):
+    """mkdb's -a DNA / -r revcomp / -s revsort reproduce the reference
+    kaiju-mkbwt byte-for-byte on the BWT (reference: mkbwt.c:803-903,
+    readFasta.c:187-205)."""
+    import os
+    import subprocess
+
+    from conftest import ORACLE_BIN
+    from kaiju_tpu.index import fmi_reader
+    from kaiju_tpu.index.core import KaijuIndex
+
+    rng = random.Random(1234)
+    records = []
+    for i in range(12):
+        n = rng.randint(20, 120)
+        records.append(
+            (f"seq{i}", "".join(rng.choice("ACGTN") for _ in range(n)))
+        )
+    fasta = str(tmp_path / "dna.fa")
+    with open(fasta, "w") as fh:
+        for name, seq in records:
+            fh.write(f">{name}\n{seq}\n")
+    prefix = str(tmp_path / "ref")
+    subprocess.run(
+        [os.path.join(ORACLE_BIN, "kaiju-mkbwt"), "-n", "1", "-e", "3",
+         "-a", "DNA", "-l", "1", "-o", prefix] + flags + [fasta],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        [os.path.join(ORACLE_BIN, "kaiju-mkfmi"), prefix],
+        check=True, capture_output=True,
+    )
+    ref = fmi_reader.read_fmi(prefix + ".fmi")
+
+    ktx = str(tmp_path / "mine.ktx")
+    from kaiju_tpu.tools import mkdb
+
+    assert mkdb.main(["-o", ktx, "-e", "3", "-a", "DNA"] + flags
+                     + [fasta]) == 0
+    mine = KaijuIndex.load(ktx)
+    assert mine.length == ref.length and mine.nseq == ref.nseq
+    assert mine.alphabet == ref.alphabet
+    import numpy as np
+
+    assert np.array_equal(
+        np.asarray(mine.bwt[: mine.length]),
+        np.asarray(ref.bwt[: ref.length]),
+    )
+    assert np.array_equal(np.asarray(mine.C), np.asarray(ref.C))

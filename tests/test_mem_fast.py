@@ -85,3 +85,41 @@ def test_mem_fast_paired(db_env):
     )
     ref = _oracle(db_env, r1, ["-a", "mem", "-x"], paired=r2)
     assert mine == ref, _diff(mine, ref)
+
+
+@needs_oracle
+def test_mem_fast_hybrid_long_matches(db_env):
+    """Oracle parity for the hybrid text-comparison extension: a
+    text-carrying index (py_builder) + reads whose fragments are LONG
+    exact copies of DB sequences, so matches outlive the FM burn-in
+    (fused_mem2.S1_STEPS) and resolve via SA walks + direct text
+    comparison; duplicated DB content keeps some intervals wider than
+    SW_WCAP, exercising the FM completion side too."""
+    from readgen import reverse_translate
+
+    from kaiju_tpu.index import py_builder
+    from kaiju_tpu.ops import fused_mem2
+
+    rng = random.Random(85)
+    reads = []
+    for i in range(60):
+        _, prot = db_env["records"][rng.randrange(len(db_env["records"]))]
+        plen = rng.randint(
+            fused_mem2.S1_STEPS + 10, max(len(prot), fused_mem2.S1_STEPS + 11)
+        )
+        plen = min(plen, len(prot))
+        start = rng.randrange(0, len(prot) - plen + 1)
+        reads.append(
+            (f"lr{i:03d}", reverse_translate(rng, prot[start : start + plen]))
+        )
+    cfg = KaijuConfig(mode="mem", seg=True, use_Evalue=False)
+    index = py_builder.build_index(db_env["records"])
+    assert index.text is not None
+    tax = Taxonomy(parse_nodes_dmp(db_env["nodes"]))
+    pipe = MemFastPipeline(index, tax, cfg)
+    assert pipe._hyb_arrays()[0] is not None  # hybrid actually enabled
+    out = []
+    for name, r in pipe.classify_batch([(n, s, None) for n, s in reads]):
+        out.append(format_output_line(name, r, cfg.verbose))
+    ref = _oracle(db_env, reads, ["-a", "mem", "-x"])
+    assert "".join(out) == ref, _diff("".join(out), ref)

@@ -27,12 +27,23 @@ def _make_kaiju_output(db_env, seed=81, n=200, extra=()):
     return path
 
 
+def _subproc_env():
+    """Child processes must run pure-CPU: force the CPU platform and
+    disable any out-of-process accelerator plugin registration (a sick
+    device tunnel would otherwise hang the child at interpreter start)."""
+    return dict(
+        os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS=""
+    )
+
+
 def _run_tool(module, args):
     res = subprocess.run(
         [sys.executable, "-m", module] + args,
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=_subproc_env(),
+        timeout=600,
     )
     assert res.returncode == 0, res.stderr
     return res.stdout
@@ -127,7 +138,6 @@ def test_mergeoutputs_score_parity(db_env, tmp_path):
 
 
 @needs_oracle
-@pytest.mark.slow
 def test_kaiju_cli_end_to_end(db_env, tmp_path):
     """Our kaiju CLI on .fmi input == reference kaiju binary output."""
     rng = random.Random(88)
@@ -135,12 +145,11 @@ def test_kaiju_cli_end_to_end(db_env, tmp_path):
     rp = str(tmp_path / "reads.fastq")
     write_fastq(reads, rp)
     out_path = str(tmp_path / "mine.out")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
     res = subprocess.run(
         [sys.executable, "-m", "kaiju_tpu.tools.kaiju",
          "-t", db_env["nodes"], "-f", db_env["fmi"], "-i", rp,
          "-a", "greedy", "-o", out_path],
-        capture_output=True, text=True, env=env,
+        capture_output=True, text=True, env=_subproc_env(), timeout=600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert res.returncode == 0, res.stderr
@@ -152,7 +161,6 @@ def test_kaiju_cli_end_to_end(db_env, tmp_path):
 
 
 @needs_oracle
-@pytest.mark.slow
 def test_consistency_triangle(db_env, tmp_path):
     """The reference CI's internal-consistency checks
     (reference: test/viruses/sars-cov-2-SE.sh:9-31), on our own tools:
@@ -209,3 +217,42 @@ def test_consistency_triangle(db_env, tmp_path):
     per = counts([outs[0]]) + counts([outs[1]])
     comb = counts(outs)
     assert per == comb
+
+
+@needs_oracle
+def test_verbose_parameter_dump(db_env, tmp_path):
+    """-v startup parameter block on stderr is line-identical to the
+    reference (reference: src/kaiju.cpp:204-221)."""
+    rng = random.Random(92)
+    reads = make_reads(rng, db_env["records"], n=4)
+    rp = os.path.join(str(tmp_path), "r.fastq")
+    write_fastq(reads, rp)
+
+    def block(stderr):
+        lines = stderr.splitlines()
+        try:
+            i = lines.index("Parameters: ")
+        except ValueError:
+            return None
+        out = [lines[i]]
+        for ln in lines[i + 1 :]:
+            if not ln.startswith("  "):
+                break
+            out.append(ln)
+        return out
+
+    for mode in ("greedy", "mem"):
+        args = ["-t", db_env["nodes"], "-f", db_env["fmi"], "-i", rp,
+                "-a", mode, "-v", "-o", os.path.join(str(tmp_path), "o.out")]
+        res = subprocess.run(
+            [sys.executable, "-m", "kaiju_tpu.tools.kaiju"] + args,
+            capture_output=True, text=True, env=_subproc_env(), timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert res.returncode == 0, res.stderr
+        ref = subprocess.run(
+            [os.path.join(ORACLE_BIN, "kaiju")] + args + ["-z", "1"],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert ref.returncode == 0, ref.stderr
+        assert block(res.stderr) == block(ref.stderr) != None
