@@ -100,36 +100,49 @@ class BloomScreen:
         Text source priority: cached bitmap -> ktx text.npy -> the original
         FASTA.  Returns None when no text source exists (the caller then
         runs unscreened — slower, same results)."""
-        lb = bloom_lb(index.length)
-        path = (
-            os.path.join(cache_dir, f"bloom_m{m}_lb{lb}.npy")
-            if cache_dir
-            else None
-        )
-        if path and os.path.exists(path):
-            return cls(np.load(path, mmap_mode=None), m, lb)
-
-        codes = None
-        text_path = (
-            os.path.join(index.source_dir, "text.npy")
-            if index.source_dir
-            else None
-        )
-        if text_path and os.path.exists(text_path):
-            codes = np.load(text_path)
-        elif getattr(index, "text", None) is not None:
-            codes = index.text
-        elif fasta and os.path.exists(fasta):
-            codes = _codes_from_fasta(fasta, index.alphabet)
-        if codes is None:
+        got = load_words(index, cache_dir, m, fasta=fasta)
+        if got is None:
             return None
-        words = fill_from_text(codes, m, lb)
-        if path:
-            try:
-                np.save(path, words)
-            except OSError:
-                pass
+        words, m, lb = got
         return cls(words, m, lb)
+
+
+def load_words(index, cache_dir: str | None, m: int,
+               fasta: str | None = None):
+    """(words, m, lb) as host numpy, or None when no text source exists —
+    for callers that place the bitmap themselves (the sharded mesh
+    drivers replicate it with an explicit sharding instead of the
+    default-device put in BloomScreen.__init__)."""
+    lb = bloom_lb(index.length)
+    path = (
+        os.path.join(cache_dir, f"bloom_m{m}_lb{lb}.npy")
+        if cache_dir
+        else None
+    )
+    if path and os.path.exists(path):
+        return np.load(path, mmap_mode=None), m, lb
+
+    codes = None
+    text_path = (
+        os.path.join(index.source_dir, "text.npy")
+        if index.source_dir
+        else None
+    )
+    if text_path and os.path.exists(text_path):
+        codes = np.load(text_path)
+    elif getattr(index, "text", None) is not None:
+        codes = index.text
+    elif fasta and os.path.exists(fasta):
+        codes = _codes_from_fasta(fasta, index.alphabet)
+    if codes is None:
+        return None
+    words = fill_from_text(codes, m, lb)
+    if path:
+        try:
+            np.save(path, words)
+        except OSError:
+            pass
+    return words, m, lb
 
 
 def _codes_from_fasta(fasta: str, alphabet: str) -> np.ndarray:

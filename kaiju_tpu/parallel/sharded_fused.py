@@ -144,6 +144,8 @@ def make_sharded_mem_classify(
     T: int,
     R: int,
     cap: int,
+    m: int = 0,
+    lb: int = 0,
 ):
     """Builds the jitted sharded classify step.
 
@@ -160,7 +162,7 @@ def make_sharded_mem_classify(
 
     def per_device(
         blocks_s, occ_s, shard_base, C, sa_seq_s, sa_off_s,
-        seed_rec, seq_tax, parent, depth,
+        seed_rec, seq_tax, parent, depth, bloom_words,
         flat_codes, frag_off, rf_rows,
     ):
         blocks_s = blocks_s[0]
@@ -178,6 +180,7 @@ def make_sharded_mem_classify(
         ph = _search_phases(
             None, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
             rec2=None, rank_pair=rank_pair, any_fn=_any_psum,
+            bloom_words=bloom_words if m > 0 else None, m=m, lb=lb,
         )
         stats = _mem_stats(ph, min_len, T)
         walk_fn = _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s,
@@ -203,7 +206,7 @@ def make_sharded_mem_classify(
         in_specs=(
             P("index"), P("index"), None, None,   # blocks, occ, base, C
             P("index"), P("index"),               # SA samples
-            None, None, None, None,               # seed/tax tables
+            None, None, None, None, None,         # seed/tax/bloom tables
             P("data"), P("data"), P("data"),      # per-data-shard queries
         ),
         out_specs=P("data"),
@@ -231,6 +234,8 @@ def make_sharded_greedy_classify(
     T: int,
     R: int,
     cap: int,
+    m: int = 0,
+    lb: int = 0,
 ):
     """Jitted sharded Greedy step: the full fused program
     (kaiju_tpu.ops.fused_greedy.greedy_core — level-0 funnel, inserted
@@ -247,9 +252,9 @@ def make_sharded_greedy_classify(
 
     def per_device(
         blocks_s, occ_s, shard_base, C, sa_seq_s, sa_off_s,
-        seed_rec, seq_tax, parent, depth,
-        flat_codes, frag_off, frag_rid,
+        seed_rec, seq_tax, parent, depth, bloom_words,
         diag_tab, submat, subcode_tab, subdiag_tab,
+        flat_codes, frag_off, frag_rid,
     ):
         blocks_s = blocks_s[0]
         occ_s = occ_s[0]
@@ -272,6 +277,7 @@ def make_sharded_greedy_classify(
             return _search_phases(
                 None, C, seed_rec, flat_codes, frag_off, K, j0, M2_, Ms_,
                 rec2=None, rank_pair=rank_pair, any_fn=_any_psum,
+                bloom_words=bloom_words if m > 0 else None, m=m, lb=lb,
             )
 
         walk_fn = _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s,
@@ -292,9 +298,9 @@ def make_sharded_greedy_classify(
         in_specs=(
             P("index"), P("index"), None, None,   # blocks, occ, base, C
             P("index"), P("index"),               # SA samples
-            None, None, None, None,               # seed/tax tables
-            P("data"), P("data"), P("data"),      # per-data-shard queries
+            None, None, None, None, None,         # seed/tax/bloom tables
             None, None, None, None,               # scoring tables
+            P("data"), P("data"), P("data"),      # per-data-shard queries
         ),
         out_specs=P("data"),
         check_vma=False,
@@ -308,13 +314,17 @@ class ShardedGreedyClassifier:
     and exact host replay of flagged reads — the mesh analog of
     engine/greedy_device.GreedyDevicePipeline."""
 
-    def __init__(self, index, taxonomy, config, mesh: Mesh, n_index: int):
+    def __init__(self, index, taxonomy, config, mesh: Mesh, n_index: int,
+                 cache_dir: str | None = None):
         import math
 
+        from ..engine.fragments_native import NativeFragmenter2
         from ..engine.greedy_device import greedy_scoring_tables
         from ..engine.mem_fast import SEED_K
         from ..index.alphabet import trans_table
+        from ..ops.bloom import load_words
         from ..ops.kmer import KmerTables
+        from ..utils.capstore import CapStore
 
         assert config.mode == "greedy"
         self.cfg = config
@@ -322,11 +332,16 @@ class ShardedGreedyClassifier:
         self.mesh = mesh
         self.n_data = mesh.shape["data"]
         self.sh = ShardedIndexArrays(index, n_index)
+        cache_dir = cache_dir or index.source_dir
         want_K = min(SEED_K, config.seed_length)
-        self.kmer = KmerTables.load_or_build(index, None, K=want_K)
+        self.kmer = KmerTables.load_or_build(index, cache_dir, K=want_K)
         self.seed_K = min(want_K, self.kmer.K)
         self._seed_rec = self.kmer.packed_seed_rec(self.seed_K)
         self._lmap = min(config.seed_length, config.min_fragment_length)
+        got = load_words(index, cache_dir, self._lmap)
+        self._bloom_np, self._bloom_m, self._bloom_lb = (
+            got if got else (np.zeros(1, np.uint32), 0, 0)
+        )
         par, dep = taxonomy.dense_arrays()
         self._parent = par
         self._depth = dep
@@ -336,14 +351,22 @@ class ShardedGreedyClassifier:
         self._math = math
         self.R = 32
         self.S = 16
-        self._m2 = 65536
-        self._ms = 16384
-        self._mn = 32768
-        self._mv = 65536
-        self._mt = 16384
+        # mesh funnel budgets: persisted per DB + config signature so a
+        # fresh process starts at steady state (utils/capstore.py)
+        self._caps = CapStore(cache_dir, "mesh_greedy", sig=config.cap_sig())
+        self._m2 = self._caps.get("m2", 65536)
+        self._ms = self._caps.get("ms", 16384)
+        self._mn = self._caps.get("mn", 32768)
+        self._mv = self._caps.get("mv", 65536)
+        self._mt = self._caps.get("mt", 16384)
         self._fns: dict = {}
         self._tax = taxonomy
         self._host = None
+        self._frag2 = NativeFragmenter2(
+            "greedy", config.min_fragment_length, config.min_score,
+            config.seg, config.input_is_protein,
+        )
+        self._dev = None  # device-resident index + tables (upload ONCE)
 
     @staticmethod
     def _bucket(n, lo):
@@ -351,6 +374,29 @@ class ShardedGreedyClassifier:
         while b < n:
             b *= 2
         return b
+
+    def _index_args(self):
+        """Device-resident sharded index + replicated tables, uploaded
+        once per process and reused by every classify call (the
+        reference likewise loads the index once for all samples,
+        kaiju-multi.cpp:307)."""
+        if self._dev is None:
+            def put(arr, spec):
+                return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+            sh = self.sh
+            diag, submat, subcode, subdiag = self._tabs
+            self._dev = (
+                put(sh.blocks_sh, P("index")), put(sh.occ_local, P("index")),
+                put(sh.shard_base, P()), put(sh.C, P()),
+                put(sh.sa_seq_sh, P("index")), put(sh.sa_off_sh, P("index")),
+                put(self._seed_rec, P()), put(self._seq_tax, P()),
+                put(self._parent, P()), put(self._depth, P()),
+                put(self._bloom_np, P()),
+                put(diag, P()), put(submat, P()), put(subcode, P()),
+                put(subdiag, P()),
+            )
+        return self._dev
 
     def _fn(self, B):
         cfg = self.cfg
@@ -364,33 +410,26 @@ class ShardedGreedyClassifier:
                 M2=self._m2, Ms=self._ms, Mn=self._mn, Mv=self._mv,
                 Mt=self._mt, T=cfg.max_matches_SI, R=self.R,
                 cap=cfg.max_match_ids,
+                m=self._bloom_m, lb=self._bloom_lb,
             )
         return self._fns[key]
 
-    def classify_reads(self, reads):
-        """Fragments `reads` across the data axis, runs the fused
-        sharded Greedy step (with mesh-wide capacity retry), then the
-        host E-value gate and exact replay of flagged reads."""
-        from ..engine.core import ClassifyResult
-        from ..engine.fragments_native import NativeFragmenter2
-        from ..ops.fused_greedy import FLAG_NEED_MORE, FLAG_TIE_OVER
-
+    def submit_batch(self, reads):
+        """Fragments `reads` across the data axis and dispatches the
+        fused sharded Greedy step asynchronously; the sharded index
+        stays device-resident across calls (see _index_args)."""
         cfg = self.cfg
         D = self.n_data
         per = -(-len(reads) // D)
         pad = per * D - len(reads)
         items = list(reads) + [("~pad", "", None)] * pad
-        frag2 = NativeFragmenter2(
-            "greedy", cfg.min_fragment_length, cfg.min_score, cfg.seg,
-            cfg.input_is_protein,
-        )
         parts = []
         P_cap = 1024
         F_cap = 128
         fallback = set()
         for d in range(D):
             sub = items[d * per : (d + 1) * per]
-            flat, chars, frag_off, n_frags, _k, rf, oflow = frag2.run(
+            flat, chars, frag_off, n_frags, _k, rf, oflow = self._frag2.run(
                 sub, self.S, self._bucket
             )
             parts.append((flat, frag_off, rf, oflow))
@@ -419,24 +458,31 @@ class ShardedGreedyClassifier:
         flat = np.stack([s[0] for s in shards])
         off = np.stack([s[1] for s in shards])
         rid = np.stack([s[2] for s in shards])
+        out = self._dispatch(per, flat, off, rid)
+        return (reads, per, fallback, (flat, off, rid), out)
 
+    def _dispatch(self, per, flat, off, rid):
         def put(arr, spec):
             return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
-        sh = self.sh
-        diag, submat, subcode, subdiag = self._tabs
+        return self._fn(per)(
+            *self._index_args(),
+            put(flat, P("data")), put(off, P("data")), put(rid, P("data")),
+        )
+
+    def collect_batch(self, state):
+        """Fetches a submitted batch, growing capacities + re-running on
+        overflow, then applies the host E-value gate and the exact host
+        replay of flagged reads."""
+        from ..engine.core import ClassifyResult
+        from ..ops.fused_greedy import FLAG_NEED_MORE, FLAG_TIE_OVER
+
+        cfg = self.cfg
+        reads, per, fallback, args, out = state
+        flat, off, rid = args
+        D = self.n_data
         while True:
-            out = np.asarray(self._fn(per)(
-                put(sh.blocks_sh, P("index")), put(sh.occ_local, P("index")),
-                put(sh.shard_base, P()), put(sh.C, P()),
-                put(sh.sa_seq_sh, P("index")), put(sh.sa_off_sh, P("index")),
-                put(self._seed_rec, P()), put(self._seq_tax, P()),
-                put(self._parent, P()), put(self._depth, P()),
-                put(flat, P("data")), put(off, P("data")),
-                put(rid, P("data")),
-                put(diag, P()), put(submat, P()), put(subcode, P()),
-                put(subdiag, P()),
-            ))
+            out = np.asarray(out)
             n2 = int(out[:, per, 0].max())
             n_surv = int(out[:, per, 1].max())
             n_nodes = int(out[:, per, 2].max())
@@ -454,6 +500,9 @@ class ShardedGreedyClassifier:
             self._mn = self._bucket(max(self._mn, n_nodes), 4096)
             self._mv = self._bucket(max(self._mv, max_nv), 4096)
             self._mt = self._bucket(max(self._mt, n_ties), 4096)
+            self._caps.update(m2=self._m2, ms=self._ms, mn=self._mn,
+                              mv=self._mv, mt=self._mt)
+            out = self._dispatch(per, flat, off, rid)
 
         for d in range(D):
             for r in range(per):
@@ -501,24 +550,49 @@ class ShardedGreedyClassifier:
             results.append((name, ClassifyResult(lca > 0, lca, score=best)))
         return results
 
+    def classify_reads(self, reads):
+        return self.collect_batch(self.submit_batch(reads))
+
+    def classify_stream(self, batches, depth: int = 2):
+        """Pipelined mesh classification: submit keeps `depth` batches
+        in flight so host fragmenting overlaps device compute (mesh
+        analog of engine/greedy_device.classify_stream)."""
+        from collections import deque
+
+        q: deque = deque()
+        for batch in batches:
+            q.append(self.submit_batch(batch))
+            if len(q) > depth:
+                yield self.collect_batch(q.popleft())
+        while q:
+            yield self.collect_batch(q.popleft())
+
 
 class ShardedMemClassifier:
     """Convenience driver: shards an index + taxonomy over a mesh and
     classifies read batches with the fused sharded step."""
 
-    def __init__(self, index, taxonomy, config, mesh: Mesh, n_index: int):
+    def __init__(self, index, taxonomy, config, mesh: Mesh, n_index: int,
+                 cache_dir: str | None = None):
         from ..engine.mem_fast import SEED_K, TIE_CAP
+        from ..ops.bloom import load_words
         from ..ops.kmer import KmerTables
+        from ..utils.capstore import CapStore
 
         self.cfg = config
         self.index = index
         self.mesh = mesh
         self.n_data = mesh.shape["data"]
         self.sh = ShardedIndexArrays(index, n_index)
+        cache_dir = cache_dir or index.source_dir
         K = min(SEED_K, config.min_fragment_length)
-        self.kmer = KmerTables.load_or_build(index, None, K=K)
+        self.kmer = KmerTables.load_or_build(index, cache_dir, K=K)
         self.seed_K = min(K, self.kmer.K)
         self._seed_rec = self.kmer.packed_seed_rec(self.seed_K)
+        got = load_words(index, cache_dir, config.min_fragment_length)
+        self._bloom_np, self._bloom_m, self._bloom_lb = (
+            got if got else (np.zeros(1, np.uint32), 0, 0)
+        )
         par, dep = taxonomy.dense_arrays()
         self._parent = par
         self._depth = dep
@@ -527,12 +601,33 @@ class ShardedMemClassifier:
         self.R = 32
         self.S = 16
         # sticky funnel budgets: grow on overflow (shape change = new
-        # executable), never shrink
-        self._m2 = 65536
-        self._ms = 16384
+        # executable), never shrink; persisted per DB + config signature
+        self._caps = CapStore(cache_dir, "mesh_mem", sig=config.cap_sig())
+        self._m2 = self._caps.get("m2", 65536)
+        self._ms = self._caps.get("ms", 16384)
         self._fns: dict = {}
         self._tax = taxonomy
         self._host = None  # lazy single-device fallback for flagged reads
+        self._dev = None  # device-resident index + tables (upload ONCE)
+
+    def _index_args(self):
+        """Device-resident sharded index + replicated tables, uploaded
+        once per process (cf. the reference loading the index once for
+        all samples, kaiju-multi.cpp:307)."""
+        if self._dev is None:
+            def put(arr, spec):
+                return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+            sh = self.sh
+            self._dev = (
+                put(sh.blocks_sh, P("index")), put(sh.occ_local, P("index")),
+                put(sh.shard_base, P()), put(sh.C, P()),
+                put(sh.sa_seq_sh, P("index")), put(sh.sa_off_sh, P("index")),
+                put(self._seed_rec, P()), put(self._seq_tax, P()),
+                put(self._parent, P()), put(self._depth, P()),
+                put(self._bloom_np, P()),
+            )
+        return self._dev
 
     def _fn(self, M2, Ms):
         key = (M2, Ms)
@@ -543,6 +638,7 @@ class ShardedMemClassifier:
                 min_len=self.cfg.min_fragment_length,
                 M2=M2, Ms=Ms, T=self.T, R=self.R,
                 cap=self.cfg.max_match_ids,
+                m=self._bloom_m, lb=self._bloom_lb,
             )
         return self._fns[key]
 
@@ -568,14 +664,9 @@ class ShardedMemClassifier:
         def put(arr, spec):
             return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
-        sh = self.sh
         while True:
             out = np.asarray(self._fn(self._m2, self._ms)(
-                put(sh.blocks_sh, P("index")), put(sh.occ_local, P("index")),
-                put(sh.shard_base, P()), put(sh.C, P()),
-                put(sh.sa_seq_sh, P("index")), put(sh.sa_off_sh, P("index")),
-                put(self._seed_rec, P()), put(self._seq_tax, P()),
-                put(self._parent, P()), put(self._depth, P()),
+                *self._index_args(),
                 put(flat, P("data")), put(off, P("data")), put(rf, P("data")),
             ))
             n2 = int(out[:, -1, 0].max())
@@ -588,27 +679,24 @@ class ShardedMemClassifier:
                 self._bucket(P_, 4096),
             )
             self._ms = self._bucket(max(self._ms, n_surv), 4096)
+            self._caps.update(m2=self._m2, ms=self._ms)
 
-    def classify_reads(self, reads):
-        """Read-level driver: fragments `reads`, spreads them across the
-        data axis, classifies on the mesh, and replays flagged reads
-        (tie overflow / SA budget / fragment-slot overflow) through the
-        exact single-device pipeline — the mesh analog of
-        engine/mem_fast.py's _collect_tail fallback."""
+    def submit_batch(self, reads):
+        """Fragments `reads` across the data axis and dispatches the
+        sharded step asynchronously (index stays device-resident)."""
         from ..engine.fragments_native import NativeFragmenter
-        from ..engine.mem_fast import MemFastPipeline
         from ..index.alphabet import trans_table
-        from ..ops.fused_classify import FLAG_NEED_MORE, FLAG_TIE_OVER
 
         cfg = self.cfg
         D = self.n_data
         per = -(-len(reads) // D)
         pad = per * D - len(reads)
         items = list(reads) + [("~pad", "", None)] * pad
-        frag = NativeFragmenter(
-            "mem", cfg.min_fragment_length, cfg.min_score, cfg.seg,
-            cfg.input_is_protein,
-        )
+        if getattr(self, "_frag", None) is None:
+            self._frag = NativeFragmenter(
+                "mem", cfg.min_fragment_length, cfg.min_score, cfg.seg,
+                cfg.input_is_protein,
+            )
         trans = trans_table(self.index.alphabet)
         shards = []
         fallback = set()
@@ -616,7 +704,7 @@ class ShardedMemClassifier:
         parts = []
         for d in range(D):
             sub = items[d * per : (d + 1) * per]
-            frags, orders = frag.run(sub)
+            frags, orders = self._frag.run(sub)
             enc = [
                 trans[np.frombuffer(f.encode(), np.uint8)] for f in frags
             ]
@@ -641,7 +729,51 @@ class ShardedMemClassifier:
                     fallback.add(d * per + r)
                 rf[r, : len(o)] = o[: self.S]
             shards.append((flat, offs, rf))
-        out = self.classify(shards)
+
+        def put(arr, spec):
+            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+        flat = np.stack([s[0] for s in shards])
+        off = np.stack([s[1] for s in shards])
+        rf = np.stack([s[2] for s in shards])
+        out = self._fn(self._m2, self._ms)(
+            *self._index_args(),
+            put(flat, P("data")), put(off, P("data")), put(rf, P("data")),
+        )
+        return (reads, per, fallback, (flat, off, rf), out)
+
+    def collect_batch(self, state):
+        """Fetch + capacity-retry + flagged-read host replay."""
+        from ..engine.mem_fast import MemFastPipeline
+        from ..ops.fused_classify import FLAG_NEED_MORE, FLAG_TIE_OVER
+
+        cfg = self.cfg
+        reads, per, fallback, args, out = state
+        flat, off, rf = args
+        D = self.n_data
+
+        def put(arr, spec):
+            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+        while True:
+            out = np.asarray(out)
+            n2 = int(out[:, -1, 0].max())
+            n_surv = int(out[:, -1, 1].max())
+            if n2 <= self._m2 and n_surv <= self._ms:
+                break
+            P_ = int(flat.shape[1])
+            self._m2 = min(
+                self._bucket(max(self._m2, n2), 4096),
+                self._bucket(P_, 4096),
+            )
+            self._ms = self._bucket(max(self._ms, n_surv), 4096)
+            self._caps.update(m2=self._m2, ms=self._ms)
+            out = self._fn(self._m2, self._ms)(
+                *self._index_args(),
+                put(flat, P("data")), put(off, P("data")),
+                put(rf, P("data")),
+            )
+        out = out[:, :-1, :]
 
         for d in range(D):
             for r in range(per):
@@ -677,3 +809,23 @@ class ShardedMemClassifier:
                     (name, ClassifyResult(lca > 0, lca, score=score))
                 )
         return results
+
+    def classify_reads(self, reads):
+        """Read-level driver: fragments `reads`, spreads them across the
+        data axis, classifies on the mesh, and replays flagged reads
+        (tie overflow / SA budget / fragment-slot overflow) through the
+        exact single-device pipeline — the mesh analog of
+        engine/mem_fast.py's _collect_tail fallback."""
+        return self.collect_batch(self.submit_batch(reads))
+
+    def classify_stream(self, batches, depth: int = 2):
+        """Pipelined mesh classification with `depth` in-flight batches."""
+        from collections import deque
+
+        q: deque = deque()
+        for batch in batches:
+            q.append(self.submit_batch(batch))
+            if len(q) > depth:
+                yield self.collect_batch(q.popleft())
+        while q:
+            yield self.collect_batch(q.popleft())

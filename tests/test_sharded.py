@@ -232,3 +232,51 @@ def test_sharded_greedy_classify_reads(env):
             res.classified, res.lca if res.classified else 0,
             res.score if res.classified else 0,
         ), name
+
+
+def test_sharded_index_device_resident(env):
+    """The sharded index must upload ONCE: the second classify call
+    moves no index bytes (the reference likewise loads its index once
+    for all samples, kaiju-multi.cpp:307)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng, records, idx = env
+    from kaiju_tpu.engine.config import KaijuConfig
+    from kaiju_tpu.io.taxonomy import Taxonomy
+    from kaiju_tpu.parallel.sharded_fused import ShardedMemClassifier
+    from kaiju_tpu.parallel.sharded_index import make_mesh
+
+    from readgen import make_reads
+
+    nodes = {1: 1, 10: 1, 100: 10, 200: 10, 300: 10,
+             101: 100, 102: 100, 103: 100, 201: 200, 202: 200, 301: 300}
+    tax = Taxonomy(nodes)
+    cfg = KaijuConfig(mode="mem", use_Evalue=False)
+    mesh = make_mesh(n_index_shards=2)
+    cls = ShardedMemClassifier(idx, tax, cfg, mesh, n_index=2)
+    reads = [(n, s, None) for n, s in make_reads(rng, records, n=16)]
+    first = cls.classify_reads(reads)
+
+    # after warmup the index handles are cached; any further device_put
+    # of an index-sized array is a regression
+    index_ids = {id(a) for a in (
+        cls.sh.blocks_sh, cls.sh.occ_local, cls.sh.sa_seq_sh,
+        cls.sh.sa_off_sh, cls._seed_rec, cls._bloom_np,
+    )}
+    orig_put = jax.device_put
+    uploads = []
+
+    def spy(x, *a, **kw):
+        if id(x) in index_ids:
+            uploads.append(x)
+        return orig_put(x, *a, **kw)
+
+    jax.device_put = spy
+    try:
+        second = cls.classify_reads(reads)
+    finally:
+        jax.device_put = orig_put
+    assert uploads == [], "index arrays re-uploaded on second classify"
+    assert [r for _, r in first] == [r for _, r in second]
