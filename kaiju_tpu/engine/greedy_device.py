@@ -138,6 +138,9 @@ class GreedyDevicePipeline:
         self._mv = self._caps.get("mv", 65536)
         self._mt = self._caps.get("mt", 16384)
         self._host: Optional[object] = None  # lazy exact-replay pipeline
+        # running counters: host-replay (flagged) reads vs total, for
+        # benchmark reporting of the funnel's fallback economics
+        self.stats = {"reads": 0, "flagged": 0}
 
     S_SLOTS = 16
     R_BUDGET = 32
@@ -272,6 +275,8 @@ class GreedyDevicePipeline:
         for r in range(B):
             if packed[r, 2] & (FLAG_TIE_OVER | FLAG_NEED_MORE):
                 flagged.add(r)
+        self.stats["reads"] += B
+        self.stats["flagged"] += len(flagged)
         redo = {}
         if flagged:
             sub = [reads[r] for r in sorted(flagged)]

@@ -222,6 +222,7 @@ class MemFastPipeline(SaResolveMixin):
         # call); falls back to the host tail per read when budgets
         # overflow.  Verbose output needs names, so it stays on the host
         # tail path.
+        self.stats = {"reads": 0, "flagged": 0}  # host-replay counters
         self._device_tail = taxonomy is not None and not config.verbose
         if self._device_tail:
             import jax
@@ -615,6 +616,8 @@ class MemFastPipeline(SaResolveMixin):
         for r in range(B):
             if packed[r, 2] & (FLAG_TIE_OVER | FLAG_NEED_MORE):
                 flagged.add(r)
+        self.stats["reads"] += B
+        self.stats["flagged"] += len(flagged)
         redo = {}
         if flagged:
             # budget overflow / slot overflow: re-fragment just these

@@ -8,7 +8,7 @@ import random
 import pytest
 
 from kaiju_tpu.engine.config import KaijuConfig
-from kaiju_tpu.engine.exact import ExactClassifier, format_output_line
+from kaiju_tpu.engine.core import ExactClassifier, format_output_line
 from kaiju_tpu.index import fmi_reader
 from kaiju_tpu.io.taxonomy import Taxonomy, parse_nodes_dmp
 
