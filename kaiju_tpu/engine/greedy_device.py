@@ -187,6 +187,15 @@ class GreedyDevicePipeline:
         )
 
     def submit_batch(self, reads):
+        # pad ragged batches up to the largest read-count bucket seen
+        # for this DB: the trailing short batch of a stream must reuse
+        # the full batch's executable, not compile (and possibly load
+        # over the tunnel) a second one mid-stream
+        B_real = len(reads)
+        bmax = max(self._caps.get("bmax", 0), self._bucket(B_real, 512))
+        self._caps.update(bmax=bmax)
+        if B_real < bmax:
+            reads = list(reads) + [("", "", None)] * (bmax - B_real)
         B = len(reads)
         S = self.S_SLOTS
         flat, chars, frag_off, n_frags, _keys, rf, oflow = (
@@ -235,8 +244,8 @@ class GreedyDevicePipeline:
         M2 = self._m2.setdefault(P, min(P // 8, 32768))
         Ms = self._ms
         out = self._dispatch(flat, frag_off, frag_rid, Bp, M2, Ms)
-        return (reads, sorted(fallback), (flat, frag_off, frag_rid, Bp),
-                M2, Ms, out)
+        return (reads[:B_real], sorted(f for f in fallback if f < B_real),
+                (flat, frag_off, frag_rid, Bp), M2, Ms, out)
 
     def collect_batch(self, state):
         cfg = self.cfg

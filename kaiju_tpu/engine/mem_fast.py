@@ -513,6 +513,14 @@ class MemFastPipeline(SaResolveMixin):
 
         cfg = self.cfg
         j0 = cfg.min_fragment_length - 1
+        # pad ragged batches to the largest read-count bucket seen so a
+        # stream's trailing short batch reuses the full batch's
+        # executable instead of compiling a second shape mid-stream
+        B_real = len(reads)
+        bmax = max(self._caps.get("bmax", 0), self._bucket(B_real, 512))
+        self._caps.update(bmax=bmax)
+        if B_real < bmax:
+            reads = list(reads) + [("", "", None)] * (bmax - B_real)
         B = len(reads)
         S = self.S_SLOTS
         flat, chars, frag_off, n_frags, _keys, rf, oflow = (
@@ -563,7 +571,8 @@ class MemFastPipeline(SaResolveMixin):
             self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
             self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
             self.index.chpt_exp, self._bloom_m, self._bloom_lb, STRIP_W)
-        return ("tail", reads, fallback, args, M2, Ms, out)
+        return ("tail", reads[:B_real],
+                [f for f in fallback if f < B_real], args, M2, Ms, out)
 
     def _hyb_arrays(self):
         """(textp, rank_start) for the text-comparison hybrid, or

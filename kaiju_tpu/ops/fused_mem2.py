@@ -140,6 +140,22 @@ S1_STEPS = 12    # full-width FM burn-in steps after the K-char seed
 VBASE = 1 << 30  # tie rows >= VBASE are pre-resolved id rows (see below)
 
 
+def _compact_cols(mask, cap, *cols, fills=None):
+    """Compact masked rows of 1-D arrays into [cap] buffers (overflow
+    rows dropped).  Returns (n, compacted...)."""
+    n = jnp.sum(mask, dtype=jnp.int32)
+    slot = jnp.cumsum(mask, dtype=jnp.int32) - 1
+    slot = jnp.where(mask & (slot < cap), slot, cap)
+    out = []
+    for t, v in enumerate(cols):
+        fill = 0 if fills is None else fills[t]
+        buf = jnp.full((cap + 1,), fill, v.dtype).at[slot].set(
+            v, mode="drop"
+        )[:cap]
+        out.append(buf)
+    return (n, *out)
+
+
 def build_flatp(flat_codes):
     """Paired 256-byte query rows from the flat fragment codes:
     flatp[b] = flat[128b : 128b+256] (int8; out-of-range padded 0), the
@@ -422,60 +438,95 @@ def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
     if hyb is None:
         fm_lanes = alive2
     else:
+        # occurrence-compacted switch pool: ONE slot per live occurrence
+        # (widths are mostly 1-2 after the burn-in depth, so the pool is
+        # ~n_survivors wide, not cap * SW_WCAP).  Lanes that don't fit
+        # (wide intervals / pool overflow) gracefully stay on the FM
+        # completion loop — capacity never affects correctness.
+        cap_occ = cap_sw
         width = jnp.where(alive2, cs12 - cs02, SW_WCAP + 1)
         narrow = alive2 & (width <= SW_WCAP)
-        fm_lanes = alive2 & ~narrow
+        occ_cnt = jnp.where(narrow, width, 0)
+        occ_start = jnp.cumsum(occ_cnt) - occ_cnt
+        in_pool = narrow & (occ_start + occ_cnt <= cap_occ)
+        fm_lanes = alive2 & ~in_pool
+        total_occ = jnp.sum(jnp.where(in_pool, occ_cnt, 0))
 
-        # one SA walk per occurrence of each narrow lane
-        w = jax.lax.broadcasted_iota(jnp.int32, (cap_sw, SW_WCAP), 1)
-        s_val = narrow[:, None] & (w < width[:, None])
+        # pool slot -> owning buffer2 row: occ_start is strictly
+        # increasing over in_pool lanes, so marking starts + cumsum
+        # yields the lane RANK per slot; lane_idx maps rank -> row
+        srange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
+        starts = jnp.zeros((cap_occ + 1,), jnp.int32).at[
+            jnp.where(in_pool, occ_start, cap_occ)
+        ].add(1, mode="drop")[:cap_occ]
+        seg = jnp.cumsum(starts) - 1
+        _, lane_idx = _compact_cols(
+            in_pool, cap_occ,
+            jax.lax.broadcasted_iota(jnp.int32, (cap_sw, 1), 0)[:, 0],
+        )
+        pool_lane = lane_idx[jnp.clip(seg, 0, cap_occ - 1)]
+        valid_s = srange < total_occ
+        pl = jnp.where(valid_s, pool_lane, 0)
+        pool_off = srange - occ_start[pl]
         chpt = hyb["chpt_exp"]
         pad_k = ((hyb["nseq"] >> chpt) + 1) << chpt
-        kf = jnp.where(s_val, cs02[:, None] + w, pad_k).reshape(-1)
+        pool_k = jnp.where(valid_s, cs02[pl] + pool_off, pad_k)
         iseq, pos = _walk_pos(
-            rec, C, hyb["sa_seq"], hyb["sa_off"], hyb["nseq"], chpt, kf,
-            any_fn=any_fn,
+            rec, C, hyb["sa_seq"], hyb["sa_off"], hyb["nseq"], chpt,
+            pool_k, any_fn=any_fn,
         )
         # occurrence start in the global text, then compare backwards
         p = jnp.where(
-            s_val.reshape(-1),
-            hyb["rank_start"][jnp.clip(iseq, 0, hyb["rank_start"].shape[0] - 1)]
-            + pos,
+            valid_s,
+            hyb["rank_start"][
+                jnp.clip(iseq, 0, hyb["rank_start"].shape[0] - 1)
+            ] + pos,
             0,
         )
-        qg = jnp.broadcast_to(
-            (cbase2 + ci2)[:, None], (cap_sw, SW_WCAP)
-        ).reshape(-1)
-        avail_q = jnp.broadcast_to(ci2[:, None], (cap_sw, SW_WCAP)).reshape(-1)
+        qg = (cbase2 + ci2)[pl]
+        avail_q = ci2[pl]
         ext = _text_extend(
-            hyb["textp"], hyb["flatp"], p, qg, avail_q,
-            s_val.reshape(-1), any_fn=any_fn,
-        ).reshape(cap_sw, SW_WCAP)
-        ext = jnp.where(s_val, ext, -1)
-        maxext = jnp.max(ext, axis=1)
-        ach = s_val & (ext == maxext[:, None])
-        n_ach = jnp.sum(ach, axis=1, dtype=jnp.int32)
-        # compact achieving occurrence ids to the front of each row
-        # (ascending w == ascending SA order, preserved by LF monotony)
-        rank_w = jnp.cumsum(ach.astype(jnp.int32), axis=1) - 1
-        iseq2 = iseq.reshape(cap_sw, SW_WCAP)
-        sw_ids = jnp.zeros((cap_sw, SW_WCAP), jnp.int32)
-        for cslot in range(SW_WCAP):
-            sw_ids = sw_ids.at[:, cslot].set(
-                jnp.sum(
-                    jnp.where(ach & (rank_w == cslot), iseq2, 0), axis=1
-                )
-            )
-        vrow = (
-            hyb.get("voff", 0)
-            + jax.lax.broadcasted_iota(jnp.int32, (cap_sw, 1), 0)[:, 0]
+            hyb["textp"], hyb["flatp"], p, qg, avail_q, valid_s,
+            any_fn=any_fn,
         )
-        sw_i = ci2 - jnp.maximum(maxext, 0)
-        sw_s0 = VBASE + vrow * SW_WCAP
-        sw_s1 = sw_s0 + jnp.maximum(n_ach, 1)
-        res_i = scatter(res_i, corig2, sw_i, narrow)
-        res_s0 = scatter(res_s0, corig2, sw_s0, narrow)
-        res_s1 = scatter(res_s1, corig2, sw_s1, narrow)
+        ext = jnp.where(valid_s, ext, -1)
+        maxext_seg = jax.ops.segment_max(
+            ext, jnp.where(valid_s, seg, cap_occ), num_segments=cap_occ + 1
+        )[:cap_occ]
+        ach = valid_s & (ext == maxext_seg[jnp.clip(seg, 0, cap_occ - 1)])
+        # rank within the lane's slot run (ascending slot == ascending
+        # SA order, preserved by LF monotony) -> compact achieving ids
+        # to the segment start so sw_flat[occ_start + r] enumerates them
+        incl = jnp.cumsum(ach.astype(jnp.int32))
+        ex = incl - ach.astype(jnp.int32)
+        seg_first = occ_start[pl]
+        ex0 = ex[jnp.clip(seg_first, 0, cap_occ - 1)]
+        rank = ex - ex0
+        dst = jnp.where(ach, seg_first + rank, cap_occ)
+        sw_ids = jnp.zeros((cap_occ + 1,), jnp.int32).at[dst].set(
+            jnp.where(valid_s, iseq, 0), mode="drop"
+        )[:cap_occ]
+        n_ach_seg = jax.ops.segment_sum(
+            ach.astype(jnp.int32), jnp.where(valid_s, seg, cap_occ),
+            num_segments=cap_occ + 1,
+        )[:cap_occ]
+        # back to buffer2 rows: rank r of lane row lane_idx[r]
+        rrange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
+        lane_dst = jnp.where(
+            rrange < jnp.sum(in_pool, dtype=jnp.int32), lane_idx, cap_sw
+        )
+        maxext_lane = jnp.zeros((cap_sw + 1,), jnp.int32).at[
+            lane_dst
+        ].set(maxext_seg, mode="drop")[:cap_sw]
+        n_ach_lane = jnp.zeros((cap_sw + 1,), jnp.int32).at[
+            lane_dst
+        ].set(n_ach_seg, mode="drop")[:cap_sw]
+        sw_i = ci2 - jnp.maximum(maxext_lane, 0)
+        sw_s0 = VBASE + hyb.get("voff", 0) + occ_start
+        sw_s1 = sw_s0 + jnp.maximum(n_ach_lane, 1)
+        res_i = scatter(res_i, corig2, sw_i, in_pool)
+        res_s0 = scatter(res_s0, corig2, sw_s0, in_pool)
+        res_s1 = scatter(res_s1, corig2, sw_s1, in_pool)
 
     # FM completion for the remaining (wide-interval / non-hyb) lanes
     def s2_cond(st):
