@@ -141,6 +141,9 @@ class GreedyDevicePipeline:
         # running counters: host-replay (flagged) reads vs total, for
         # benchmark reporting of the funnel's fallback economics
         self.stats = {"reads": 0, "flagged": 0}
+        from ..utils.aot import AotCache
+
+        self._aot = AotCache(kmer_cache_dir or index.source_dir)
 
     S_SLOTS = 16
     R_BUDGET = 32
@@ -153,31 +156,40 @@ class GreedyDevicePipeline:
         return b
 
     def _host_pipe(self):
+        """Exact host replay engine for flagged reads.  The pure-host
+        sequential classifier (the parity oracle) costs NO device
+        compiles — flagged reads are <0.1% of a stream, and the
+        device-pipeline fallback used before compiled its own fused
+        programs on the FIRST flagged read, stalling the stream for
+        tens of seconds."""
         if self._host is None:
-            from .greedy_fast import GreedyFastPipeline
+            from .core import ExactClassifier
 
-            self._host = GreedyFastPipeline(
-                self.index, self.tax, self.cfg, device_index=self.dev,
-                kmer_tables=self.kmer,
-                kmer_cache_dir=self.index.source_dir,
-            )
-            # share the bloom screen (avoid a rebuild)
-            self._host._bloom_words = self._bloom_words
-            self._host._bloom_m = self._bloom_m
-            self._host._bloom_lb = self._bloom_lb
+            self._host = ExactClassifier(self.index, self.tax, self.cfg)
         return self._host
 
     # ------------------------------------------------------------------
 
+    def _hyb_arrays(self):
+        from ..ops.fused_mem2 import VBASE
+
+        if self.dev.has_text and self.index.length < VBASE:
+            return self.dev.textp, self.dev.rank_start
+        return None, None
+
     def _dispatch(self, flat, frag_off, frag_rid, B, M2, Ms):
         cfg = self.cfg
-        return fused_greedy_classify(
+        textp, rank_start = self._hyb_arrays()
+        arrays = (
             self.dev.rec, self.dev.C, self.dev.rec2, self._seed_rec,
             self._bloom_words, self.dev.sa_seq, self.dev.sa_off,
             self._seq_tax, self._parent, self._depth,
+            textp, rank_start,
             flat, frag_off, frag_rid,
             self._diag_tab, self._submat, self._subcode_tab,
             self._subdiag_tab,
+        )
+        statics = (
             B, self.seed_K, self._lmap - 1, self._lmap,
             cfg.min_fragment_length, cfg.min_score, cfg.mismatches,
             M2, Ms, self._mn, self._mv, self._mt,
@@ -185,6 +197,10 @@ class GreedyDevicePipeline:
             self.index.nseq, self.index.chpt_exp,
             self._bloom_m, self._bloom_lb, 4,
         )
+        # exported-artifact call: skips the minutes-long re-trace of the
+        # mega-program in every fresh process (utils/aot.py)
+        return self._aot.call("greedy", fused_greedy_classify, arrays,
+                              statics)
 
     def submit_batch(self, reads):
         # pad ragged batches up to the largest read-count bucket seen

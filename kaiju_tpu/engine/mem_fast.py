@@ -186,6 +186,9 @@ class MemFastPipeline(SaResolveMixin):
         self._caps = CapStore(
             kmer_cache_dir or index.source_dir, "mem", sig=config.cap_sig()
         )
+        from ..utils.aot import AotCache
+
+        self._aot = AotCache(kmer_cache_dir or index.source_dir)
         # phase-2 lane capacity per P bucket / survivor-lane capacity of
         # the completion loops; persisted per DB (see utils/capstore.py)
         self._m2: dict[int, int] = self._caps.get_map("m2")
@@ -223,6 +226,7 @@ class MemFastPipeline(SaResolveMixin):
         # overflow.  Verbose output needs names, so it stays on the host
         # tail path.
         self.stats = {"reads": 0, "flagged": 0}  # host-replay counters
+        self._exact = None  # lazy pure-host replay engine
         self._device_tail = taxonomy is not None and not config.verbose
         if self._device_tail:
             import jax
@@ -562,17 +566,29 @@ class MemFastPipeline(SaResolveMixin):
         M2 = self._m2.setdefault(P, min(P // 8, 32768))
         Ms = self._ms
         args = (flat, frag_off, rf_rows)
+        out = self._dispatch_tail(flat, frag_off, rf_rows, M2, Ms)
+        return ("tail", reads[:B_real],
+                [f for f in fallback if f < B_real], args, M2, Ms, out)
+
+    def _dispatch_tail(self, flat, frag_off, rf_rows, M2, Ms):
+        from ..ops.fused_classify import fused_mem_classify
+
+        cfg = self.cfg
+        j0 = cfg.min_fragment_length - 1
         textp, rank_start = self._hyb_arrays()
-        out = fused_mem_classify(
+        arrays = (
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
             rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
             self._parent, self._depth, self.dev.rec2, self._bloom_words,
             textp, rank_start,
+        )
+        statics = (
             self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
             self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
-            self.index.chpt_exp, self._bloom_m, self._bloom_lb, STRIP_W)
-        return ("tail", reads[:B_real],
-                [f for f in fallback if f < B_real], args, M2, Ms, out)
+            self.index.chpt_exp, self._bloom_m, self._bloom_lb, STRIP_W,
+        )
+        # exported-artifact call (skips per-process re-trace; utils/aot.py)
+        return self._aot.call("mem", fused_mem_classify, arrays, statics)
 
     def _hyb_arrays(self):
         """(textp, rank_start) for the text-comparison hybrid, or
@@ -610,16 +626,7 @@ class MemFastPipeline(SaResolveMixin):
             self._m2[P] = M2
             self._ms = Ms
             self._caps.update(m2=self._m2, ms=Ms)
-            textp, rank_start = self._hyb_arrays()
-            out = fused_mem_classify(
-                self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
-                rf_rows, self.dev.sa_seq, self.dev.sa_off, self._seq_tax,
-                self._parent, self._depth, self.dev.rec2, self._bloom_words,
-                textp, rank_start,
-                self.seed_K, j0, cfg.min_fragment_length, M2, Ms, TIE_CAP,
-                self.R_BUDGET, cfg.max_match_ids, self.index.nseq,
-                self.index.chpt_exp, self._bloom_m, self._bloom_lb, STRIP_W,
-            )
+            out = self._dispatch_tail(flat, frag_off, rf_rows, M2, Ms)
 
         flagged = set(fallback)
         for r in range(B):
@@ -629,15 +636,16 @@ class MemFastPipeline(SaResolveMixin):
         self.stats["flagged"] += len(flagged)
         redo = {}
         if flagged:
-            # budget overflow / slot overflow: re-fragment just these
-            # reads on the string path and classify via the host tail
+            # budget / slot overflow: replay through the pure-host exact
+            # classifier — no device compiles, so a stream's first
+            # flagged read cannot stall it (flagged reads are <0.1%)
+            if self._exact is None:
+                from .core import ExactClassifier
+
+                self._exact = ExactClassifier(self.index, self.tax, self.cfg)
             sub = [reads[r] for r in sorted(flagged)]
-            sub_frags, sub_local = self._fragmenter.run(sub)
-            guid = [self._uid(f) for f in sub_frags]
-            sub_orders = [[guid[u] for u in o] for o in sub_local]
-            self._compute_maps([u for o in sub_orders for u in o])
-            for rr, res in zip(
-                sorted(flagged), self._host_tail(sub, sub_orders)
+            for rr, (_n, res) in zip(
+                sorted(flagged), self._exact.classify_batch(sub)
             ):
                 redo[rr] = res
 

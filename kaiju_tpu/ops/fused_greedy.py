@@ -36,7 +36,15 @@ import jax.numpy as jnp
 
 from .device_index import rank_row
 from .fused_classify import _sa_walk_local, ranges_lca
-from .fused_mem2 import S1_STEPS, _search_phases
+from .fused_mem2 import (
+    S1_STEPS,
+    SW_WCAP,
+    VBASE,
+    _search_phases,
+    _text_extend,
+    _walk_pos,
+    build_flatp,
+)
 
 FLAG_TIE_OVER = 1   # more ties than max_matches_SI -> host replay
 FLAG_NEED_MORE = 2  # SA position budget R exhausted before the id cap
@@ -194,6 +202,93 @@ def _extend_two_stage(rank_pair2, flat_codes, base, pos, subcode,
     return scatter(i, fi), scatter(a0, f0), scatter(a1, f1), n_surv
 
 
+def _hyb_extend_pool(hyb, start_i, s0, s1, base, act, cap_occ,
+                     any_fn=None):
+    """Occurrence-compacted hybrid finish for right-anchored resumed
+    matches (the last variant level, whose intervals feed only the tie
+    rows): lanes whose SA interval is <= SW_WCAP wide compact one slot
+    per occurrence, SA-walk to a text position, and finish the
+    extension by direct text comparison (128 chars per gather) instead
+    of one FM step per character.  The extension compares only
+    positions left of the already-matched span, so the substituted
+    character never needs an overlay.
+
+    Returns (in_pool, sw_i, sw_s0, sw_s1, sw_ids): per-lane results
+    valid where in_pool (sw_s0/s1 are VBASE-encoded virtual rows into
+    the flat sw_ids id list); everything else stays on the FM loop.
+    """
+    anyf = any_fn or jnp.any
+    width = jnp.where(act, s1 - s0, SW_WCAP + 1)
+    narrow = act & (width <= SW_WCAP) & (start_i > 0)
+    occ_cnt = jnp.where(narrow, width, 0)
+    occ_start = jnp.cumsum(occ_cnt) - occ_cnt
+    in_pool = narrow & (occ_start + occ_cnt <= cap_occ)
+    total_occ = jnp.sum(jnp.where(in_pool, occ_cnt, 0))
+    N = act.shape[0]
+
+    srange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
+    starts = jnp.zeros((cap_occ + 1,), jnp.int32).at[
+        jnp.where(in_pool, occ_start, cap_occ)
+    ].add(1, mode="drop")[:cap_occ]
+    seg = jnp.cumsum(starts) - 1
+    n_in = jnp.sum(in_pool, dtype=jnp.int32)
+    lslot = jnp.cumsum(in_pool, dtype=jnp.int32) - 1
+    lslot = jnp.where(in_pool & (lslot < cap_occ), lslot, cap_occ)
+    lane_idx = jnp.full((cap_occ + 1,), N, jnp.int32).at[lslot].set(
+        jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0], mode="drop"
+    )[:cap_occ]
+    pool_lane = lane_idx[jnp.clip(seg, 0, cap_occ - 1)]
+    valid_s = (srange < total_occ) & (pool_lane < N)
+    pl = jnp.where(valid_s, pool_lane, 0)
+    pool_off = srange - occ_start[pl]
+    chpt = hyb["chpt_exp"]
+    pad_k = ((hyb["nseq"] >> chpt) + 1) << chpt
+    pool_k = jnp.where(valid_s, s0[pl] + pool_off, pad_k)
+    iseq, pos = hyb["walk_pos"](pool_k)
+    p = jnp.where(
+        valid_s,
+        hyb["rank_start"][
+            jnp.clip(iseq, 0, hyb["rank_start"].shape[0] - 1)
+        ] + pos,
+        0,
+    )
+    qg = (base + start_i)[pl]
+    avail_q = start_i[pl]
+    ext = _text_extend(
+        hyb["textp"], hyb["flatp"], p, qg, avail_q, valid_s, any_fn=any_fn
+    )
+    ext = jnp.where(valid_s, ext, -1)
+    maxext_seg = jax.ops.segment_max(
+        ext, jnp.where(valid_s, seg, cap_occ), num_segments=cap_occ + 1
+    )[:cap_occ]
+    ach = valid_s & (ext == maxext_seg[jnp.clip(seg, 0, cap_occ - 1)])
+    incl = jnp.cumsum(ach.astype(jnp.int32))
+    ex = incl - ach.astype(jnp.int32)
+    seg_first = occ_start[pl]
+    ex0 = ex[jnp.clip(seg_first, 0, cap_occ - 1)]
+    rank = ex - ex0
+    dst = jnp.where(ach, seg_first + rank, cap_occ)
+    sw_ids = jnp.zeros((cap_occ + 1,), jnp.int32).at[dst].set(
+        jnp.where(valid_s, iseq, 0), mode="drop"
+    )[:cap_occ]
+    n_ach_seg = jax.ops.segment_sum(
+        ach.astype(jnp.int32), jnp.where(valid_s, seg, cap_occ),
+        num_segments=cap_occ + 1,
+    )[:cap_occ]
+    rrange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
+    lane_dst = jnp.where(rrange < n_in, lane_idx, N)
+    maxext_lane = jnp.zeros((N + 1,), jnp.int32).at[lane_dst].set(
+        maxext_seg, mode="drop"
+    )[:N]
+    n_ach_lane = jnp.zeros((N + 1,), jnp.int32).at[lane_dst].set(
+        n_ach_seg, mode="drop"
+    )[:N]
+    sw_i = start_i - jnp.maximum(maxext_lane, 0)
+    sw_s0 = VBASE + occ_start
+    sw_s1 = sw_s0 + jnp.maximum(n_ach_lane, 1)
+    return in_pool, sw_i, sw_s0, sw_s1, sw_ids
+
+
 def _compact(mask, cap, *cols, fills=None):
     """Compact masked rows of equal-length 1-D arrays into [cap] buffers.
     Returns (n, compacted...); n may exceed cap (caller retries bigger)."""
@@ -210,11 +305,12 @@ def _compact(mask, cap, *cols, fills=None):
     return (n, *out)
 
 
-@partial(jax.jit, static_argnums=tuple(range(17, 37)))
+@partial(jax.jit, static_argnums=tuple(range(19, 39)))
 def fused_greedy_classify(
     # device index + tables
     rec, C, rec2, seed_rec, bloom_words,
     sa_seq, sa_off, seq_tax, parent, depth,
+    textp, rank_start,
     # batch
     flat_codes, frag_off, frag_rid,
     # scoring tables
@@ -254,12 +350,23 @@ def fused_greedy_classify(
                               j0, M2_, Ms_, rec2=rec2,
                               bloom_words=bloom_words, m=m, lb=lb, W=W)
 
+    hyb = None
+    if textp is not None:
+        hyb = dict(
+            textp=textp, rank_start=rank_start,
+            flatp=build_flatp(flat_codes),
+            nseq=nseq, chpt_exp=chpt_exp,
+            walk_pos=lambda kf: _walk_pos(
+                rec, C, sa_seq, sa_off, nseq, chpt_exp, kf
+            ),
+        )
+
     return greedy_core(
         search_fn, rank_pair2, walk_fn, None,
         seq_tax, parent, depth, flat_codes, frag_off, frag_rid,
         diag_tab, submat, subcode_tab, subdiag_tab,
         B, Lmap, mfl, min_score, mismatches,
-        M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp,
+        M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp, hyb=hyb,
     )
 
 
@@ -268,14 +375,17 @@ def greedy_core(
     seq_tax, parent, depth, flat_codes, frag_off, frag_rid,
     diag_tab, submat, subcode_tab, subdiag_tab,
     B, Lmap, mfl, min_score, mismatches,
-    M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp,
+    M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp, hyb=None,
 ):
     """The fused Greedy program over injected index primitives:
     search_fn(M2, Ms) -> _search_phases dict; rank_pair2(c, a0, a1,
     act) -> (n0, n1); walk_fn(kf) -> sequence index per SA position;
     any_fn for lockstep while-loop conditions (psum over the index axis
-    of a mesh, plain jnp.any on one chip)."""
+    of a mesh, plain jnp.any on one chip); hyb: text-comparison arrays
+    + a (iseq, pos) walk closure for the last-level hybrid finish
+    (None on the mesh path)."""
     F = frag_off.shape[0] - 1
+    sw3 = None
 
     # ---- per-position diag-score prefix sums (calcScore via prefix
     # sums; reference: ConsumerThread.cpp:397-404) ----------------------
@@ -432,10 +542,24 @@ def greedy_core(
         # resumed extension (maxMatches_withStart, bwt.c:298-336)
         start_i = jnp.where(p_ok, v_effL - v_matchlen, 0)
         cap2 = max(Mv // 4, 2048)
+        v_base = frag_off[jnp.minimum(v_fid, F)]
+        fm_act = p_ok
+        if level == mismatches and hyb is not None:
+            # the last level's intervals feed only the tie rows, so
+            # narrow lanes can finish by direct text comparison and
+            # return pre-resolved virtual id rows
+            in_pool, sw_i, sw_s0, sw_s1, sw3 = _hyb_extend_pool(
+                hyb, start_i, n0, n1, v_base, p_ok, cap2, any_fn=any_fn
+            )
+            fm_act = p_ok & ~in_pool
         i_res, r0, r1, n_surv_v = _extend_two_stage(
-            rank_pair2, flat_codes, frag_off[jnp.minimum(v_fid, F)],
-            v_qi - 1, v_code, start_i, n0, n1, p_ok, cap2, any_fn=any_fn,
+            rank_pair2, flat_codes, v_base,
+            v_qi - 1, v_code, start_i, n0, n1, fm_act, cap2, any_fn=any_fn,
         )
+        if level == mismatches and hyb is not None:
+            i_res = jnp.where(in_pool, sw_i, i_res)
+            r0 = jnp.where(in_pool, sw_s0, r0)
+            r1 = jnp.where(in_pool, sw_s1, r1)
         # fold stage-2 overflow into the Mv retry channel: growing Mv
         # past 4 * n_surv_v grows cap2 past the survivor count
         max_nv = jnp.maximum(
@@ -507,7 +631,7 @@ def greedy_core(
     # ---- SA resolution + capped ids + LCA (shared tail) ----------------
     lca, n_ids, need_more, _total = ranges_lca(
         g_s0, g_s1, contrib, walk_fn, seq_tax, parent, depth, R, cap,
-        nseq, chpt_exp, any_fn=any_fn,
+        nseq, chpt_exp, any_fn=any_fn, sw_ids=sw3,
     )
     lca = jnp.where(best > 0, lca, 0)
     flags = (tie_cnt > T).astype(jnp.int32) * FLAG_TIE_OVER + (

@@ -72,3 +72,38 @@ def test_greedy_device_paired(db_env):
     )
     ref = _oracle(db_env, r1, ["-a", "greedy", "-x"], paired=r2)
     assert mine == ref, _diff(mine, ref)
+
+
+@needs_oracle
+def test_greedy_device_hybrid_long_matches(db_env):
+    """Oracle parity for the last-level hybrid finish: a text-carrying
+    index + long matches that outlive the FM burn-in, so the final
+    mismatch level resolves ties via SA walks + direct text comparison
+    (virtual id rows) instead of FM completion."""
+    import random as _random
+
+    from readgen import reverse_translate
+
+    from kaiju_tpu.index import py_builder
+
+    rng = _random.Random(95)
+    reads = []
+    for i in range(50):
+        _, prot = db_env["records"][rng.randrange(len(db_env["records"]))]
+        plen = min(rng.randint(30, 200), len(prot))
+        start = rng.randrange(0, len(prot) - plen + 1)
+        sub = list(prot[start : start + plen])
+        if i % 2 and len(sub) > 40:  # one inner mutation: forces variants
+            sub[len(sub) // 2] = "ACDEFGHIKLMNPQRSTVWY"[i % 20]
+        reads.append((f"gh{i:03d}", reverse_translate(rng, "".join(sub))))
+    cfg = KaijuConfig(mode="greedy")
+    index = py_builder.build_index(db_env["records"])
+    assert index.text is not None
+    tax = Taxonomy(parse_nodes_dmp(db_env["nodes"]))
+    pipe = GreedyDevicePipeline(index, tax, cfg)
+    assert pipe._hyb_arrays()[0] is not None
+    out = []
+    for name, r in pipe.classify_batch([(n, s, None) for n, s in reads]):
+        out.append(format_output_line(name, r, cfg.verbose))
+    ref = _oracle(db_env, reads, [])
+    assert "".join(out) == ref, _diff("".join(out), ref)
