@@ -133,10 +133,11 @@ class GreedyDevicePipeline:
             sig=config.cap_sig(),
         )
         self._m2: dict[int, int] = self._caps.get_map("m2")
-        self._ms = self._caps.get("ms", 16384)
+        self._msm: dict[int, int] = self._caps.get_map("ms2")
         self._mn = self._caps.get("mn", 32768)
         self._mv = self._caps.get("mv", 65536)
         self._mt = self._caps.get("mt", 16384)
+        self._mh = self._caps.get("mh", 65536)
         self._host: Optional[object] = None  # lazy exact-replay pipeline
         # running counters: host-replay (flagged) reads vs total, for
         # benchmark reporting of the funnel's fallback economics
@@ -192,7 +193,7 @@ class GreedyDevicePipeline:
         statics = (
             B, self.seed_K, self._lmap - 1, self._lmap,
             cfg.min_fragment_length, cfg.min_score, cfg.mismatches,
-            M2, Ms, self._mn, self._mv, self._mt,
+            M2, Ms, self._mn, self._mv, self._mt, self._mh,
             cfg.max_matches_SI, self.R_BUDGET, cfg.max_match_ids,
             self.index.nseq, self.index.chpt_exp,
             self._bloom_m, self._bloom_lb, 4,
@@ -208,8 +209,10 @@ class GreedyDevicePipeline:
         # the full batch's executable, not compile (and possibly load
         # over the tunnel) a second one mid-stream
         B_real = len(reads)
-        bmax = max(self._caps.get("bmax", 0), self._bucket(B_real, 512))
-        self._caps.update(bmax=bmax)
+        self._bmax = max(
+            getattr(self, "_bmax", 0), self._bucket(B_real, 512)
+        )
+        bmax = self._bmax
         if B_real < bmax:
             reads = list(reads) + [("", "", None)] * (bmax - B_real)
         B = len(reads)
@@ -258,7 +261,7 @@ class GreedyDevicePipeline:
                 fallback.add(int(frag_rid[fr_]))
 
         M2 = self._m2.setdefault(P, min(P // 8, 32768))
-        Ms = self._ms
+        Ms = self._msm.setdefault(P, 16384)
         out = self._dispatch(flat, frag_off, frag_rid, Bp, M2, Ms)
         return (reads[:B_real], sorted(f for f in fallback if f < B_real),
                 (flat, frag_off, frag_rid, Bp), M2, Ms, out)
@@ -271,11 +274,12 @@ class GreedyDevicePipeline:
         B = len(reads)
         while True:
             packed = np.asarray(out)
-            n2, n_surv, n_nodes, max_nv, n_ties = (
-                int(x) for x in packed[Bp, :5]
+            n2, n_surv, n_nodes, max_nv, n_ties, want_h = (
+                int(x) for x in packed[Bp, :6]
             )
             if (n2 <= M2 and n_surv <= Ms and n_nodes <= self._mn
-                    and max_nv <= self._mv and n_ties <= self._mt):
+                    and max_nv <= self._mv and n_ties <= self._mt
+                    and want_h <= self._mh):
                 break
             # grow past the observed need (not just to it): one early
             # batch slightly under the steady-state peak must not cost a
@@ -286,14 +290,17 @@ class GreedyDevicePipeline:
             )
             Ms = self._bucket(max(Ms, n_surv + n_surv // 4), 4096)
             self._m2[P] = M2
-            self._ms = Ms
+            self._msm[P] = Ms
             self._mn = self._bucket(
                 max(self._mn, n_nodes + n_nodes // 4), 4096
             )
             self._mv = self._bucket(max(self._mv, max_nv + max_nv // 4), 4096)
             self._mt = self._bucket(max(self._mt, n_ties + n_ties // 4), 4096)
-            self._caps.update(m2=self._m2, ms=Ms, mn=self._mn,
-                              mv=self._mv, mt=self._mt)
+            self._mh = self._bucket(
+                max(self._mh, want_h + want_h // 4), 4096
+            )
+            self._caps.update(m2=self._m2, ms2=self._msm, mn=self._mn,
+                              mv=self._mv, mt=self._mt, mh=self._mh)
             out = self._dispatch(flat, frag_off, frag_rid, Bp, M2, Ms)
 
         flagged = set(fallback)

@@ -192,7 +192,7 @@ class MemFastPipeline(SaResolveMixin):
         # phase-2 lane capacity per P bucket / survivor-lane capacity of
         # the completion loops; persisted per DB (see utils/capstore.py)
         self._m2: dict[int, int] = self._caps.get_map("m2")
-        self._ms = self._caps.get("ms", 16384)
+        self._msm: dict[int, int] = self._caps.get_map("ms2")
         self._trans = trans_table(index.alphabet)
         if config.seg:
             from .seg_native import make_seg_filter
@@ -361,7 +361,7 @@ class MemFastPipeline(SaResolveMixin):
         # sticky per-P capacity: shape changes force executable reloads
         # over the tunnel, so only grow on overflow, never shrink
         M2 = self._m2.setdefault(P, min(P // 8, 32768))
-        Ms = self._ms
+        Ms = self._msm.setdefault(P, 16384)
         out = fused_mem_search2(
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
             None, self._bloom_words, self.seed_K, j0,
@@ -395,8 +395,8 @@ class MemFastPipeline(SaResolveMixin):
             )
             Ms = self._bucket(max(Ms, n_surv + n_surv // 4), 4096)
             self._m2[P] = M2
-            self._ms = Ms
-            self._caps.update(m2=self._m2, ms=Ms)
+            self._msm[P] = Ms
+            self._caps.update(m2=self._m2, ms2=self._msm)
             out = fused_mem_search2(
                 self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
                 None, self._bloom_words, self.seed_K, j0,
@@ -521,8 +521,10 @@ class MemFastPipeline(SaResolveMixin):
         # stream's trailing short batch reuses the full batch's
         # executable instead of compiling a second shape mid-stream
         B_real = len(reads)
-        bmax = max(self._caps.get("bmax", 0), self._bucket(B_real, 512))
-        self._caps.update(bmax=bmax)
+        self._bmax = max(
+            getattr(self, "_bmax", 0), self._bucket(B_real, 512)
+        )
+        bmax = self._bmax
         if B_real < bmax:
             reads = list(reads) + [("", "", None)] * (bmax - B_real)
         B = len(reads)
@@ -564,7 +566,7 @@ class MemFastPipeline(SaResolveMixin):
         fallback = np.flatnonzero(oflow).tolist()
 
         M2 = self._m2.setdefault(P, min(P // 8, 32768))
-        Ms = self._ms
+        Ms = self._msm.setdefault(P, 16384)
         args = (flat, frag_off, rf_rows)
         out = self._dispatch_tail(flat, frag_off, rf_rows, M2, Ms)
         return ("tail", reads[:B_real],
@@ -624,8 +626,8 @@ class MemFastPipeline(SaResolveMixin):
             )
             Ms = self._bucket(max(Ms, n_surv + n_surv // 4), 4096)
             self._m2[P] = M2
-            self._ms = Ms
-            self._caps.update(m2=self._m2, ms=Ms)
+            self._msm[P] = Ms
+            self._caps.update(m2=self._m2, ms2=self._msm)
             out = self._dispatch_tail(flat, frag_off, rf_rows, M2, Ms)
 
         flagged = set(fallback)

@@ -213,9 +213,11 @@ def _hyb_extend_pool(hyb, start_i, s0, s1, base, act, cap_occ,
     positions left of the already-matched span, so the substituted
     character never needs an overlay.
 
-    Returns (in_pool, sw_i, sw_s0, sw_s1, sw_ids): per-lane results
-    valid where in_pool (sw_s0/s1 are VBASE-encoded virtual rows into
-    the flat sw_ids id list); everything else stays on the FM loop.
+    Returns (in_pool, sw_i, sw_s0, sw_s1, sw_ids, want_occ): per-lane
+    results valid where in_pool (sw_s0/s1 are VBASE-encoded virtual rows
+    into the flat sw_ids id list); everything else stays on the FM loop.
+    want_occ is the occupancy the pool WANTED — above cap_occ the
+    overflow lanes run slow FM tails, so callers should grow capacity.
     """
     anyf = any_fn or jnp.any
     width = jnp.where(act, s1 - s0, SW_WCAP + 1)
@@ -224,6 +226,7 @@ def _hyb_extend_pool(hyb, start_i, s0, s1, base, act, cap_occ,
     occ_start = jnp.cumsum(occ_cnt) - occ_cnt
     in_pool = narrow & (occ_start + occ_cnt <= cap_occ)
     total_occ = jnp.sum(jnp.where(in_pool, occ_cnt, 0))
+    want_occ = jnp.sum(occ_cnt)
     N = act.shape[0]
 
     srange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
@@ -286,7 +289,7 @@ def _hyb_extend_pool(hyb, start_i, s0, s1, base, act, cap_occ,
     sw_i = start_i - jnp.maximum(maxext_lane, 0)
     sw_s0 = VBASE + occ_start
     sw_s1 = sw_s0 + jnp.maximum(n_ach_lane, 1)
-    return in_pool, sw_i, sw_s0, sw_s1, sw_ids
+    return in_pool, sw_i, sw_s0, sw_s1, sw_ids, want_occ
 
 
 def _compact(mask, cap, *cols, fills=None):
@@ -305,7 +308,7 @@ def _compact(mask, cap, *cols, fills=None):
     return (n, *out)
 
 
-@partial(jax.jit, static_argnums=tuple(range(19, 39)))
+@partial(jax.jit, static_argnums=tuple(range(19, 40)))
 def fused_greedy_classify(
     # device index + tables
     rec, C, rec2, seed_rec, bloom_words,
@@ -317,7 +320,7 @@ def fused_greedy_classify(
     diag_tab, submat, subcode_tab, subdiag_tab,
     # static config
     B, K, j0, Lmap, mfl, min_score, mismatches,
-    M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp, m=0, lb=0, W=4,
+    M2, Ms, Mn, Mv, Mt, Mh, T, R, cap, nseq, chpt_exp, m=0, lb=0, W=4,
 ):
     """flat_codes uint8 [P]; frag_off int32 [F+1] (monotone, trailing pad
     rows repeat the end offset); frag_rid int32 [F] (read id per fragment
@@ -366,7 +369,7 @@ def fused_greedy_classify(
         seq_tax, parent, depth, flat_codes, frag_off, frag_rid,
         diag_tab, submat, subcode_tab, subdiag_tab,
         B, Lmap, mfl, min_score, mismatches,
-        M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp, hyb=hyb,
+        M2, Ms, Mn, Mv, Mt, Mh, T, R, cap, nseq, chpt_exp, hyb=hyb,
     )
 
 
@@ -375,7 +378,7 @@ def greedy_core(
     seq_tax, parent, depth, flat_codes, frag_off, frag_rid,
     diag_tab, submat, subcode_tab, subdiag_tab,
     B, Lmap, mfl, min_score, mismatches,
-    M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp, hyb=None,
+    M2, Ms, Mn, Mv, Mt, Mh, T, R, cap, nseq, chpt_exp, hyb=None,
 ):
     """The fused Greedy program over injected index primitives:
     search_fn(M2, Ms) -> _search_phases dict; rank_pair2(c, a0, a1,
@@ -386,6 +389,7 @@ def greedy_core(
     (None on the mesh path)."""
     F = frag_off.shape[0] - 1
     sw3 = None
+    want3 = jnp.int32(0)
 
     # ---- per-position diag-score prefix sums (calcScore via prefix
     # sums; reference: ConsumerThread.cpp:397-404) ----------------------
@@ -547,9 +551,10 @@ def greedy_core(
         if level == mismatches and hyb is not None:
             # the last level's intervals feed only the tie rows, so
             # narrow lanes can finish by direct text comparison and
-            # return pre-resolved virtual id rows
-            in_pool, sw_i, sw_s0, sw_s1, sw3 = _hyb_extend_pool(
-                hyb, start_i, n0, n1, v_base, p_ok, cap2, any_fn=any_fn
+            # return pre-resolved virtual id rows; pool capacity Mh has
+            # its own retry channel (output col 5)
+            in_pool, sw_i, sw_s0, sw_s1, sw3, want3 = _hyb_extend_pool(
+                hyb, start_i, n0, n1, v_base, p_ok, Mh, any_fn=any_fn
             )
             fm_act = p_ok & ~in_pool
         i_res, r0, r1, n_surv_v = _extend_two_stage(
@@ -644,4 +649,5 @@ def greedy_core(
     out = out.at[B, 0].set(ph["n2"]).at[B, 1].set(ph["nsurv"])
     out = out.at[B, 2].set(n_nodes).at[B, 3].set(max_nv)
     out = out.at[B, 4].set(n_ties)
+    out = out.at[B, 5].set(want3 if hyb is not None else jnp.int32(0))
     return out

@@ -451,6 +451,11 @@ def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
         in_pool = narrow & (occ_start + occ_cnt <= cap_occ)
         fm_lanes = alive2 & ~in_pool
         total_occ = jnp.sum(jnp.where(in_pool, occ_cnt, 0))
+        # pool overflow is CORRECT but slow (overflow lanes run the FM
+        # completion's long tails); report the wanted occupancy so the
+        # capacity-retry loop grows cap0 until the pool fits
+        want_occ = jnp.sum(occ_cnt)
+        need = jnp.maximum(need, 2 * want_occ)
 
         # pool slot -> owning buffer2 row: occ_start is strictly
         # increasing over in_pool lanes, so marking starts + cumsum

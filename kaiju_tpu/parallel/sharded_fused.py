@@ -288,7 +288,8 @@ def make_sharded_greedy_classify(
             seq_tax, parent, depth, flat_codes, frag_off, frag_rid,
             diag_tab, submat, subcode_tab, subdiag_tab,
             B, Lmap, mfl, min_score, mismatches,
-            M2, Ms, Mn, Mv, Mt, T, R, cap, nseq, chpt_exp,
+            M2, Ms, Mn, Mv, Mt, max(Mv // 4, 2048), T, R, cap,
+            nseq, chpt_exp,
         )
         return out[None]
 
