@@ -24,7 +24,10 @@ import numpy as np
 
 ORACLE_BIN = os.environ.get("KAIJU_ORACLE_BIN", "/tmp/kaiju-oracle/bin")
 DB_LETTERS = int(os.environ.get("KAIJU_BENCH_DB_LETTERS", 64_000_000))
-N_READS = int(os.environ.get("KAIJU_BENCH_READS", 20_000))
+# enough reads that the pipelined stream reaches steady state (a 5-batch
+# run spends ~2 batches filling/draining the lookahead); the reference
+# binary is timed on the SAME read set
+N_READS = int(os.environ.get("KAIJU_BENCH_READS", 65_536))
 BATCH = int(os.environ.get("KAIJU_BENCH_BATCH", 4096))
 CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
@@ -134,7 +137,7 @@ def build_db(realistic=False):
 
 
 def make_reads(fasta, cache=None):
-    path = os.path.join(cache or CACHE, "reads.fastq")
+    path = os.path.join(cache or CACHE, f"reads_{N_READS}.fastq")
     if os.path.exists(path):
         reads = []
         with open(path) as fh:
@@ -218,10 +221,7 @@ def run_reference(fasta, nodes, reads_path, mode="mem", cache_dir=None):
     """Reference kaiju -z 5 (-a mem / default greedy) on the same
     DB+reads; cached."""
     cache_dir = cache_dir or CACHE
-    cache = os.path.join(cache_dir, f"baseline_{mode}.json")
-    legacy = os.path.join(cache_dir, "baseline.json")
-    if mode == "mem" and not os.path.exists(cache) and os.path.exists(legacy):
-        cache = legacy
+    cache = os.path.join(cache_dir, f"baseline_{mode}_{N_READS}.json")
     if os.path.exists(cache):
         with open(cache) as fh:
             return json.load(fh)["reads_per_sec"]

@@ -10,7 +10,6 @@ exact host machinery (kaiju_tpu.engine.greedy_fast.GreedyFastPipeline).
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np
@@ -134,10 +133,21 @@ class GreedyDevicePipeline:
         )
         self._m2: dict[int, int] = self._caps.get_map("m2")
         self._msm: dict[int, int] = self._caps.get_map("ms2")
-        self._mn = self._caps.get("mn", 32768)
-        self._mv = self._caps.get("mv", 65536)
-        self._mt = self._caps.get("mt", 16384)
-        self._mh = self._caps.get("mh", 65536)
+        # funnel caps are P-keyed maps (they track the flat batch size;
+        # a new batch-size bucket seeds by proportional scaling from the
+        # nearest learned bucket — utils/capstore.py seeded()).  Legacy
+        # scalar entries were learned at the standard 4096-read bucket
+        # (P = 1 << 20) and seed that key.
+        self._mn: dict[int, int] = self._caps.get_map("mn2")
+        self._mv: dict[int, int] = self._caps.get_map("mv2")
+        self._mt: dict[int, int] = self._caps.get_map("mt2")
+        self._mh: dict[int, int] = self._caps.get_map("mh2")
+        LEGACY_P = 1 << 20
+        for name, m in (("mn", self._mn), ("mv", self._mv),
+                        ("mt", self._mt), ("mh", self._mh)):
+            v = self._caps.get(name, 0)
+            if v and LEGACY_P not in m:
+                m[LEGACY_P] = v
         self._host: Optional[object] = None  # lazy exact-replay pipeline
         # running counters: host-replay (flagged) reads vs total, for
         # benchmark reporting of the funnel's fallback economics
@@ -178,8 +188,9 @@ class GreedyDevicePipeline:
             return self.dev.textp, self.dev.rank_start
         return None, None
 
-    def _dispatch(self, flat, frag_off, frag_rid, B, M2, Ms):
+    def _dispatch(self, flat, frag_off, frag_rid, B, caps):
         cfg = self.cfg
+        M2, Ms, mn, mv, mt, mh = caps
         textp, rank_start = self._hyb_arrays()
         arrays = (
             self.dev.rec, self.dev.C, self.dev.rec2, self._seed_rec,
@@ -193,7 +204,7 @@ class GreedyDevicePipeline:
         statics = (
             B, self.seed_K, self._lmap - 1, self._lmap,
             cfg.min_fragment_length, cfg.min_score, cfg.mismatches,
-            M2, Ms, self._mn, self._mv, self._mt, self._mh,
+            M2, Ms, mn, mv, mt, mh,
             cfg.max_matches_SI, self.R_BUDGET, cfg.max_match_ids,
             self.index.nseq, self.index.chpt_exp,
             self._bloom_m, self._bloom_lb, 4,
@@ -226,13 +237,17 @@ class GreedyDevicePipeline:
         # compile + a multi-second executable load over the device
         # tunnel); keyed by read-count bucket so a one-off large-batch
         # run cannot inflate smaller-batch runs
+        from ..utils.capstore import CapStore
+
         Bp0 = self._bucket(B, 512)
         pmax_map = self._caps.get_map("pmax")
         fmax_map = self._caps.get_map("fmax")
         P = max(flat.shape[0],
-                pmax_map.get(Bp0, self._caps.get("pmax", 0)))
+                CapStore.seeded(pmax_map, Bp0, 4096,
+                                self._caps.get("pmax", 0)))
         F = max(frag_off.shape[0] - 1,
-                fmax_map.get(Bp0, self._caps.get("fmax", 0)))
+                CapStore.seeded(fmax_map, Bp0, 128,
+                                self._caps.get("fmax", 0)))
         self._caps.update(pmax={Bp0: P}, fmax={Bp0: F})
         if P > flat.shape[0]:
             flat = np.concatenate(
@@ -260,15 +275,25 @@ class GreedyDevicePipeline:
             if frag_rid[fr_] < B:
                 fallback.add(int(frag_rid[fr_]))
 
-        M2 = self._m2.setdefault(P, min(P // 8, 32768))
-        Ms = self._msm.setdefault(P, 16384)
-        out = self._dispatch(flat, frag_off, frag_rid, Bp, M2, Ms)
+        from ..utils.capstore import CapStore
+
+        seeded = CapStore.seeded
+        caps = (
+            seeded(self._m2, P, 4096, min(P // 8, 32768),
+                   cap=self._bucket(P, 4096)),
+            seeded(self._msm, P, 4096, 16384),
+            seeded(self._mn, P, 4096, 32768),
+            seeded(self._mv, P, 4096, 65536),
+            seeded(self._mt, P, 4096, 16384),
+            seeded(self._mh, P, 4096, 65536),
+        )
+        out = self._dispatch(flat, frag_off, frag_rid, Bp, caps)
         return (reads[:B_real], sorted(f for f in fallback if f < B_real),
-                (flat, frag_off, frag_rid, Bp), M2, Ms, out)
+                (flat, frag_off, frag_rid, Bp), caps, out)
 
     def collect_batch(self, state):
         cfg = self.cfg
-        reads, fallback, args, M2, Ms, out = state
+        reads, fallback, args, caps, out = state
         flat, frag_off, frag_rid, Bp = args
         P = flat.shape[0]
         B = len(reads)
@@ -277,31 +302,41 @@ class GreedyDevicePipeline:
             n2, n_surv, n_nodes, max_nv, n_ties, want_h = (
                 int(x) for x in packed[Bp, :6]
             )
-            if (n2 <= M2 and n_surv <= Ms and n_nodes <= self._mn
-                    and max_nv <= self._mv and n_ties <= self._mt
-                    and want_h <= self._mh):
+            # validate against the caps BAKED INTO the executable that
+            # produced THIS batch (caps may since have grown for a
+            # later in-flight batch — comparing against the current
+            # self._* would silently accept dropped lanes)
+            M2, Ms, mn, mv, mt, mh = caps
+            if (n2 <= M2 and n_surv <= Ms and n_nodes <= mn
+                    and max_nv <= mv and n_ties <= mt and want_h <= mh):
                 break
             # grow past the observed need (not just to it): one early
             # batch slightly under the steady-state peak must not cost a
             # second recompile when a later batch lands slightly over
-            M2 = min(
-                self._bucket(max(M2, n2 + n2 // 4), 4096),
+            self._m2[P] = min(
+                self._bucket(max(self._m2[P], n2 + n2 // 4), 4096),
                 self._bucket(P, 4096),
             )
-            Ms = self._bucket(max(Ms, n_surv + n_surv // 4), 4096)
-            self._m2[P] = M2
-            self._msm[P] = Ms
-            self._mn = self._bucket(
-                max(self._mn, n_nodes + n_nodes // 4), 4096
+            self._msm[P] = self._bucket(
+                max(self._msm[P], n_surv + n_surv // 4), 4096
             )
-            self._mv = self._bucket(max(self._mv, max_nv + max_nv // 4), 4096)
-            self._mt = self._bucket(max(self._mt, n_ties + n_ties // 4), 4096)
-            self._mh = self._bucket(
-                max(self._mh, want_h + want_h // 4), 4096
+            self._mn[P] = self._bucket(
+                max(self._mn[P], n_nodes + n_nodes // 4), 4096
             )
-            self._caps.update(m2=self._m2, ms2=self._msm, mn=self._mn,
-                              mv=self._mv, mt=self._mt, mh=self._mh)
-            out = self._dispatch(flat, frag_off, frag_rid, Bp, M2, Ms)
+            self._mv[P] = self._bucket(
+                max(self._mv[P], max_nv + max_nv // 4), 4096
+            )
+            self._mt[P] = self._bucket(
+                max(self._mt[P], n_ties + n_ties // 4), 4096
+            )
+            self._mh[P] = self._bucket(
+                max(self._mh[P], want_h + want_h // 4), 4096
+            )
+            self._caps.update(m2=self._m2, ms2=self._msm, mn2=self._mn,
+                              mv2=self._mv, mt2=self._mt, mh2=self._mh)
+            caps = (self._m2[P], self._msm[P], self._mn[P], self._mv[P],
+                    self._mt[P], self._mh[P])
+            out = self._dispatch(flat, frag_off, frag_rid, Bp, caps)
 
         flagged = set(fallback)
         for r in range(B):
@@ -317,28 +352,42 @@ class GreedyDevicePipeline:
             ):
                 redo[rr] = res
 
+        # bulk-convert the result block + vectorize the float64 E-value
+        # gate (the per-read numpy-scalar int()/math.pow path dominated
+        # collect at 32k-read batches); np.power on float64 is the same
+        # libm pow as math.pow, so the gate stays bit-identical
+        rows = packed[:B, :4].tolist()
+        if cfg.use_Evalue:
+            if cfg.input_is_protein:
+                qlen = np.fromiter(
+                    (float(len(s1)) for _n, s1, _s2 in reads),
+                    dtype=np.float64, count=B,
+                )
+            else:
+                qlen = np.fromiter(
+                    (len(s1) / 3.0 + (len(s2) / 3.0 if s2 else 0.0)
+                     for _n, s1, s2 in reads),
+                    dtype=np.float64, count=B,
+                )
+            best_a = packed[:B, 1].astype(np.float64)
+            bitscore = (LAMBDA * best_a - LN_K) / LN_2
+            evalue = (
+                float(self.index.db_length) * qlen
+                * np.power(2.0, -bitscore)
+            )
+            e_kill = (evalue > cfg.min_Evalue).tolist()
+        else:
+            e_kill = None
+        unclassified = ClassifyResult(False, 0)
         results = []
         for r, (name, s1, s2) in enumerate(reads):
             if r in redo:
                 results.append((name, redo[r]))
                 continue
-            lca, best, _flags, n_ids = (int(x) for x in packed[r, :4])
-            if best <= 0 or n_ids == 0:
-                results.append((name, ClassifyResult(False, 0)))
+            lca, best, _flags, n_ids = rows[r]
+            if best <= 0 or n_ids == 0 or (e_kill is not None and e_kill[r]):
+                results.append((name, unclassified))
                 continue
-            if cfg.use_Evalue:
-                qlen = (
-                    float(len(s1)) if cfg.input_is_protein
-                    else len(s1) / 3.0 + (len(s2) / 3.0 if s2 else 0.0)
-                )
-                bitscore = (LAMBDA * best - LN_K) / LN_2
-                evalue = (
-                    float(self.index.db_length) * qlen
-                    * math.pow(2.0, -bitscore)
-                )
-                if evalue > cfg.min_Evalue:
-                    results.append((name, ClassifyResult(False, 0)))
-                    continue
             results.append(
                 (name, ClassifyResult(lca > 0, lca, score=best))
             )

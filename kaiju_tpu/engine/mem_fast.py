@@ -359,9 +359,13 @@ class MemFastPipeline(SaResolveMixin):
         frag_off[len(encoded):] = pos
 
         # sticky per-P capacity: shape changes force executable reloads
-        # over the tunnel, so only grow on overflow, never shrink
-        M2 = self._m2.setdefault(P, min(P // 8, 32768))
-        Ms = self._msm.setdefault(P, 16384)
+        # over the tunnel, so only grow on overflow, never shrink; new
+        # buckets seed by proportional scaling (utils/capstore.seeded)
+        from ..utils.capstore import CapStore
+
+        M2 = CapStore.seeded(self._m2, P, 4096, min(P // 8, 32768),
+                             cap=self._bucket(P, 4096))
+        Ms = CapStore.seeded(self._msm, P, 4096, 16384)
         out = fused_mem_search2(
             self.dev.rec, self.dev.C, self._seed_rec, flat, frag_off,
             None, self._bloom_words, self.seed_K, j0,
@@ -536,13 +540,17 @@ class MemFastPipeline(SaResolveMixin):
         # executable per DB regardless of ragged batches; keyed by the
         # bucketed read count so a one-off large-batch run does not
         # permanently inflate the padded shapes of smaller-batch runs
+        from ..utils.capstore import CapStore
+
         Bp0 = self._bucket(B, 512)
         pmax_map = self._caps.get_map("pmax")
         fmax_map = self._caps.get_map("fmax")
         Pm = max(flat.shape[0],
-                 pmax_map.get(Bp0, self._caps.get("pmax", 0)))
+                 CapStore.seeded(pmax_map, Bp0, 4096,
+                                 self._caps.get("pmax", 0)))
         Fm = max(frag_off.shape[0] - 1,
-                 fmax_map.get(Bp0, self._caps.get("fmax", 0)))
+                 CapStore.seeded(fmax_map, Bp0, 128,
+                                 self._caps.get("fmax", 0)))
         self._caps.update(pmax={Bp0: Pm}, fmax={Bp0: Fm})
         if Pm > flat.shape[0]:
             flat = np.concatenate(
@@ -565,8 +573,9 @@ class MemFastPipeline(SaResolveMixin):
             rf_rows[:B] = rf
         fallback = np.flatnonzero(oflow).tolist()
 
-        M2 = self._m2.setdefault(P, min(P // 8, 32768))
-        Ms = self._msm.setdefault(P, 16384)
+        M2 = CapStore.seeded(self._m2, P, 4096, min(P // 8, 32768),
+                             cap=self._bucket(P, 4096))
+        Ms = CapStore.seeded(self._msm, P, 4096, 16384)
         args = (flat, frag_off, rf_rows)
         out = self._dispatch_tail(flat, frag_off, rf_rows, M2, Ms)
         return ("tail", reads[:B_real],
@@ -620,11 +629,18 @@ class MemFastPipeline(SaResolveMixin):
             if n2 <= M2 and n_surv <= Ms:
                 break
             P = flat.shape[0]
+            # grow the SHARED store monotonically (a later in-flight
+            # batch may already have grown it past this batch's
+            # dispatch-time caps), then retry with the grown values
             M2 = min(
-                self._bucket(max(M2, n2 + n2 // 4), 4096),
+                self._bucket(
+                    max(self._m2.get(P, M2), M2, n2 + n2 // 4), 4096
+                ),
                 self._bucket(P, 4096),
             )
-            Ms = self._bucket(max(Ms, n_surv + n_surv // 4), 4096)
+            Ms = self._bucket(
+                max(self._msm.get(P, Ms), Ms, n_surv + n_surv // 4), 4096
+            )
             self._m2[P] = M2
             self._msm[P] = Ms
             self._caps.update(m2=self._m2, ms2=self._msm)
@@ -651,14 +667,19 @@ class MemFastPipeline(SaResolveMixin):
             ):
                 redo[rr] = res
 
+        # bulk-convert the result block once (tolist is C-speed; per-read
+        # numpy-scalar int() conversions dominated collect at 32k-read
+        # batches)
+        rows = packed[:B, :4].tolist()
+        unclassified = ClassifyResult(False, 0)
         results = []
         for r, (name, _s1, _s2) in enumerate(reads):
             if r in redo:
                 results.append((name, redo[r]))
                 continue
-            lca, score, _flags, n_ids = (int(x) for x in packed[r])
+            lca, score, _flags, n_ids = rows[r]
             if score == 0 or n_ids == 0:
-                results.append((name, ClassifyResult(False, 0)))
+                results.append((name, unclassified))
             else:
                 results.append(
                     (name, ClassifyResult(lca > 0, lca, score=score))

@@ -123,11 +123,17 @@ def read_fasta_records(path: str) -> list[tuple[str, str]]:
     records: list[tuple[str, str]] = []
     name = None
     chunks: list[str] = []
-    opener = functools.partial(open, path, "rt")
-    if path.endswith(".gz"):
+    if path == "-":
+        import contextlib
+        import sys
+
+        opener = functools.partial(contextlib.nullcontext, sys.stdin)
+    elif path.endswith(".gz"):
         import gzip
 
         opener = functools.partial(gzip.open, path, "rt")
+    else:
+        opener = functools.partial(open, path, "rt")
     with opener() as fh:
         for line in fh:
             line = line.rstrip("\n")

@@ -18,7 +18,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .fused_mem2 import _mem_stats, _search_phases, build_flatp
+from .fused_mem2 import (
+    _ladder_walk,
+    _mem_stats,
+    _search_phases,
+    build_flatp,
+)
 
 FLAG_TIE_OVER = 1  # a contributing fragment had more ties than T
 FLAG_NEED_MORE = 2  # position budget R exhausted before the id cap
@@ -43,9 +48,14 @@ def fused_mem_classify(
     """
     hyb = None
     if textp is not None:
+        from .fused_mem2 import _walk_pos
+
         hyb = dict(
             textp=textp, rank_start=rank_start, flatp=build_flatp(flat_codes),
-            sa_seq=sa_seq, sa_off=sa_off, nseq=nseq, chpt_exp=chpt_exp,
+            nseq=nseq, chpt_exp=chpt_exp,
+            walk_pos=lambda kf: _walk_pos(
+                rec, C, sa_seq, sa_off, nseq, chpt_exp, kf
+            ),
         )
     ph = _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2,
                         Ms, rec2=rec2, bloom_words=bloom_words, m=m, lb=lb,
@@ -81,13 +91,11 @@ def _sa_walk_local(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf):
     steps = jnp.zeros(N, jnp.int32)
     done = (kf & check) == 0
     iseq, _pos = sample(kf, steps)
-    state0 = (kf, steps, done, iseq)
-
-    def cond(st):
-        return jnp.any(~st[2])
+    state0 = (kf, steps, done.astype(jnp.int32), iseq)
 
     def body(st):
-        k, steps, done, iseq = st
+        k, steps, done_i, iseq = st
+        done = done_i > 0
         b = k >> 7
         row = rec[jnp.minimum(b, nb1 - 1)]
         occ_row = row[:, :32]
@@ -131,10 +139,15 @@ def _sa_walk_local(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf):
         s_iseq, _sp = sample(k, steps)
         iseq = jnp.where(at_chk, s_iseq, iseq)
         done = done | hit_term | at_chk
-        return k, steps, done, iseq
+        return k, steps, done.astype(jnp.int32), iseq
 
-    _, _, _, iseq = jax.lax.while_loop(cond, body, state0)
-    return iseq
+    st = _ladder_walk(
+        body, state0, N,
+        done_of=lambda s: s[2] > 0,
+        set_done=lambda s, d: (s[0], s[1], d.astype(jnp.int32), s[3]),
+        anyf=jnp.any,
+    )
+    return st[3]
 
 
 def ranges_lca(t_s0, t_s1, contrib, walk_fn, seq_tax, parent, depth, R, cap,

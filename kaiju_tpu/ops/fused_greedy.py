@@ -38,10 +38,9 @@ from .device_index import rank_row
 from .fused_classify import _sa_walk_local, ranges_lca
 from .fused_mem2 import (
     S1_STEPS,
-    SW_WCAP,
-    VBASE,
+    UNROLL,
     _search_phases,
-    _text_extend,
+    _switch_pool,
     _walk_pos,
     build_flatp,
 )
@@ -101,52 +100,30 @@ def _paired_rank2(rec2, C, c, a0, a1, act):
     return jax.lax.cond(jnp.any(wide), mixed, narrow, None)
 
 
-def _extend_paired_overlay(rank_pair2, flat_codes, base, pos, subcode,
-                           start_i, s0, s1, act, any_fn=None):
-    """Backward-extend right-anchored lanes whose character stream is
-    flat_codes[base + x] with an overlay subcode at x == pos (the
-    substituted letter) — maxMatches_withStart's loop
-    (reference: bwt.c:298-336) over all lanes at once.  rank_pair2 is
-    the paired-rank primitive (local gathers on one chip, owner-computes
-    + psum on a mesh)."""
-    anyf = any_fn or jnp.any
-
-    def body(st):
-        i, a0, a1, alive = st
-        x = i - 1
-        cpos = jnp.where(alive, base + x, 0)
-        c = jnp.where(x == pos, subcode,
-                      flat_codes[cpos].astype(jnp.int32))
-        n0, n1 = rank_pair2(c, a0, a1, alive)
-        ok = alive & (n0 < n1)
-        a0 = jnp.where(ok, n0, a0)
-        a1 = jnp.where(ok, n1, a1)
-        i = jnp.where(ok, i - 1, i)
-        return i, a0, a1, ok & (i > 0)
-
-    i, s0, s1, _ = jax.lax.while_loop(
-        lambda st: anyf(st[3]), body, (start_i, s0, s1, act & (start_i > 0))
-    )
-    return i, s0, s1
-
-
 def _extend_two_stage(rank_pair2, flat_codes, base, pos, subcode,
-                      start_i, s0, s1, act, cap2, any_fn=None):
+                      start_i, s0, s1, act, cap2, any_fn=None,
+                      flatp=None):
     """Two-stage resumed extension (maxMatches_withStart semantics,
     reference: bwt.c:298-336): S1_STEPS fixed FM steps at full width kill
     the spurious variants, then the true long matches compact into a
     [cap2] buffer and run to completion at a fraction of the width — the
     run-to-completion tail at full fan-out width was the dominant cost
     of the variant levels.  Returns (i, s0, s1, n_surv); n_surv > cap2
-    means the compaction overflowed (caller retries bigger)."""
+    means the compaction overflowed (caller retries bigger).
+
+    With `flatp`, each stage preloads its lanes' next 128 query chars
+    as a window (one row gather) instead of one char gather per step —
+    alive lanes consume exactly one char per step, so the step-t char
+    is window column t (see fused_mem2._rev_window)."""
+    from .fused_mem2 import _rev_window
+
     anyf = any_fn or jnp.any
     N = act.shape[0]
 
-    def step(st, base_, pos_, sub_):
+    def stepc(st, c_raw, pos_, sub_):
         i, a0, a1, alive = st
         x = i - 1
-        cpos = jnp.where(alive, base_ + x, 0)
-        c = jnp.where(x == pos_, sub_, flat_codes[cpos].astype(jnp.int32))
+        c = jnp.where(x == pos_, sub_, c_raw)
         n0, n1 = rank_pair2(c, a0, a1, alive)
         ok = alive & (n0 < n1)
         a0 = jnp.where(ok, n0, a0)
@@ -154,14 +131,28 @@ def _extend_two_stage(rank_pair2, flat_codes, base, pos, subcode,
         i = jnp.where(ok, i - 1, i)
         return i, a0, a1, ok & (i > 0)
 
-    act = act & (start_i > 0)
+    def step(st, base_, pos_, sub_):
+        i, a0, a1, alive = st
+        cpos = jnp.where(alive, base_ + i - 1, 0)
+        return stepc(st, flat_codes[cpos].astype(jnp.int32), pos_, sub_)
 
+    act = act & (start_i > 0)
+    w1 = _rev_window(flatp, base + start_i, act).astype(jnp.int32)
+
+    # fixed-trip burn-in, UNROLL steps per trip: fewer loop-state
+    # staging copies than step-per-trip, but the early exit survives —
+    # when a read's best already prunes the whole fan-out (common on
+    # family-copy text) the burn-in costs one cond-check, not 12 steps
     def s1_cond(st):
-        return (st[0] < S1_STEPS) & anyf(st[1][3])
+        t, inner = st
+        return (t < S1_STEPS) & anyf(inner[3])
 
     def s1_body(st):
         t, inner = st
-        return t + 1, step(inner, base, pos, subcode)
+        for u in range(UNROLL):
+            c = jax.lax.dynamic_slice_in_dim(w1, t + u, 1, axis=1)[:, 0]
+            inner = stepc(inner, c, pos, subcode)
+        return t + UNROLL, inner
 
     _, (i, a0, a1, alive) = jax.lax.while_loop(
         s1_cond, s1_body, (jnp.int32(0), (start_i, s0, s1, act))
@@ -186,11 +177,32 @@ def _extend_two_stage(rank_pair2, flat_codes, base, pos, subcode,
     )
     calive = comp(alive, False)
 
+    # windowed completion (128 steps), then a char-gather loop for the
+    # rare straggler still alive past the window
+    w2 = _rev_window(flatp, cb + ci, calive).astype(jnp.int32)
+
+    def s2_cond(st):
+        tc, inner = st
+        return (tc < 128) & anyf(inner[3])
+
     def s2_body(st):
-        return step(st, cb, cp, csub)
+        tc, inner = st
+        for u in range(UNROLL):
+            c = jax.lax.dynamic_slice_in_dim(w2, tc + u, 1, axis=1)[:, 0]
+            inner = stepc(inner, c, cp, csub)
+        return tc + UNROLL, inner
+
+    _, (fi, f0, f1, fal) = jax.lax.while_loop(
+        s2_cond, s2_body, (jnp.int32(0), (ci, ca0, ca1, calive))
+    )
+
+    def s3_body(st):
+        for _ in range(UNROLL):
+            st = step(st, cb, cp, csub)
+        return st
 
     fi, f0, f1, _ = jax.lax.while_loop(
-        lambda st: anyf(st[3]), s2_body, (ci, ca0, ca1, calive)
+        lambda st: anyf(st[3]), s3_body, (fi, f0, f1, fal)
     )
 
     def scatter(res, vals):
@@ -200,96 +212,6 @@ def _extend_two_stage(rank_pair2, flat_codes, base, pos, subcode,
         )[:N]
 
     return scatter(i, fi), scatter(a0, f0), scatter(a1, f1), n_surv
-
-
-def _hyb_extend_pool(hyb, start_i, s0, s1, base, act, cap_occ,
-                     any_fn=None):
-    """Occurrence-compacted hybrid finish for right-anchored resumed
-    matches (the last variant level, whose intervals feed only the tie
-    rows): lanes whose SA interval is <= SW_WCAP wide compact one slot
-    per occurrence, SA-walk to a text position, and finish the
-    extension by direct text comparison (128 chars per gather) instead
-    of one FM step per character.  The extension compares only
-    positions left of the already-matched span, so the substituted
-    character never needs an overlay.
-
-    Returns (in_pool, sw_i, sw_s0, sw_s1, sw_ids, want_occ): per-lane
-    results valid where in_pool (sw_s0/s1 are VBASE-encoded virtual rows
-    into the flat sw_ids id list); everything else stays on the FM loop.
-    want_occ is the occupancy the pool WANTED — above cap_occ the
-    overflow lanes run slow FM tails, so callers should grow capacity.
-    """
-    anyf = any_fn or jnp.any
-    width = jnp.where(act, s1 - s0, SW_WCAP + 1)
-    narrow = act & (width <= SW_WCAP) & (start_i > 0)
-    occ_cnt = jnp.where(narrow, width, 0)
-    occ_start = jnp.cumsum(occ_cnt) - occ_cnt
-    in_pool = narrow & (occ_start + occ_cnt <= cap_occ)
-    total_occ = jnp.sum(jnp.where(in_pool, occ_cnt, 0))
-    want_occ = jnp.sum(occ_cnt)
-    N = act.shape[0]
-
-    srange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
-    starts = jnp.zeros((cap_occ + 1,), jnp.int32).at[
-        jnp.where(in_pool, occ_start, cap_occ)
-    ].add(1, mode="drop")[:cap_occ]
-    seg = jnp.cumsum(starts) - 1
-    n_in = jnp.sum(in_pool, dtype=jnp.int32)
-    lslot = jnp.cumsum(in_pool, dtype=jnp.int32) - 1
-    lslot = jnp.where(in_pool & (lslot < cap_occ), lslot, cap_occ)
-    lane_idx = jnp.full((cap_occ + 1,), N, jnp.int32).at[lslot].set(
-        jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0], mode="drop"
-    )[:cap_occ]
-    pool_lane = lane_idx[jnp.clip(seg, 0, cap_occ - 1)]
-    valid_s = (srange < total_occ) & (pool_lane < N)
-    pl = jnp.where(valid_s, pool_lane, 0)
-    pool_off = srange - occ_start[pl]
-    chpt = hyb["chpt_exp"]
-    pad_k = ((hyb["nseq"] >> chpt) + 1) << chpt
-    pool_k = jnp.where(valid_s, s0[pl] + pool_off, pad_k)
-    iseq, pos = hyb["walk_pos"](pool_k)
-    p = jnp.where(
-        valid_s,
-        hyb["rank_start"][
-            jnp.clip(iseq, 0, hyb["rank_start"].shape[0] - 1)
-        ] + pos,
-        0,
-    )
-    qg = (base + start_i)[pl]
-    avail_q = start_i[pl]
-    ext = _text_extend(
-        hyb["textp"], hyb["flatp"], p, qg, avail_q, valid_s, any_fn=any_fn
-    )
-    ext = jnp.where(valid_s, ext, -1)
-    maxext_seg = jax.ops.segment_max(
-        ext, jnp.where(valid_s, seg, cap_occ), num_segments=cap_occ + 1
-    )[:cap_occ]
-    ach = valid_s & (ext == maxext_seg[jnp.clip(seg, 0, cap_occ - 1)])
-    incl = jnp.cumsum(ach.astype(jnp.int32))
-    ex = incl - ach.astype(jnp.int32)
-    seg_first = occ_start[pl]
-    ex0 = ex[jnp.clip(seg_first, 0, cap_occ - 1)]
-    rank = ex - ex0
-    dst = jnp.where(ach, seg_first + rank, cap_occ)
-    sw_ids = jnp.zeros((cap_occ + 1,), jnp.int32).at[dst].set(
-        jnp.where(valid_s, iseq, 0), mode="drop"
-    )[:cap_occ]
-    n_ach_seg = jax.ops.segment_sum(
-        ach.astype(jnp.int32), jnp.where(valid_s, seg, cap_occ),
-        num_segments=cap_occ + 1,
-    )[:cap_occ]
-    rrange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
-    lane_dst = jnp.where(rrange < n_in, lane_idx, N)
-    maxext_lane = jnp.zeros((N + 1,), jnp.int32).at[lane_dst].set(
-        maxext_seg, mode="drop"
-    )[:N]
-    n_ach_lane = jnp.zeros((N + 1,), jnp.int32).at[lane_dst].set(
-        n_ach_seg, mode="drop"
-    )[:N]
-    sw_i = start_i - jnp.maximum(maxext_lane, 0)
-    sw_s0 = VBASE + occ_start
-    sw_s1 = sw_s0 + jnp.maximum(n_ach_lane, 1)
-    return in_pool, sw_i, sw_s0, sw_s1, sw_ids, want_occ
 
 
 def _compact(mask, cap, *cols, fills=None):
@@ -390,6 +312,8 @@ def greedy_core(
     F = frag_off.shape[0] - 1
     sw3 = None
     want3 = jnp.int32(0)
+    flatp_g = build_flatp(flat_codes)  # query windows for the resumed
+    # extensions (deduped with the search funnel's copy by XLA CSE)
 
     # ---- per-position diag-score prefix sums (calcScore via prefix
     # sums; reference: ConsumerThread.cpp:397-404) ----------------------
@@ -464,11 +388,24 @@ def greedy_core(
     # ConsumerThread.cpp:477) --------------------------------------------
     QLCAP = 512
     gkey = jnp.where(nd_on, nd_fid * QLCAP + jnp.minimum(nd_ql, QLCAP - 1),
-                     F * QLCAP)
-    gcnt = jax.ops.segment_sum(
-        nd_on.astype(jnp.int32), gkey, num_segments=F * QLCAP + 1
+                     BIG)
+    # multi-member (fid, ql) groups via sort + adjacent-equal instead of
+    # a dense [F * QLCAP] segment buffer (which would be ~0.5 GB at
+    # production batch sizes): rows sharing a key sort adjacent
+    mt_rows = gkey.shape[0]
+    sk, si = jax.lax.sort(
+        (gkey, jax.lax.broadcasted_iota(jnp.int32, (mt_rows, 1), 0)[:, 0]),
+        num_keys=1,
     )
-    multi = nd_on & (gcnt[gkey] >= 2)
+    eq_prev = jnp.concatenate(
+        [jnp.zeros((1,), bool), sk[1:] == sk[:-1]]
+    )
+    eq_next = jnp.concatenate(
+        [sk[:-1] == sk[1:], jnp.zeros((1,), bool)]
+    )
+    dup_sorted = (eq_prev | eq_next) & (sk < BIG)
+    multi = jnp.zeros((mt_rows,), bool).at[si].set(dup_sorted)
+    multi = nd_on & multi
     ql_t = jax.ops.segment_max(
         jnp.where(multi, nd_ql, -1), jnp.where(nd_on, nd_fid, F),
         num_segments=F + 1,
@@ -553,13 +490,14 @@ def greedy_core(
             # narrow lanes can finish by direct text comparison and
             # return pre-resolved virtual id rows; pool capacity Mh has
             # its own retry channel (output col 5)
-            in_pool, sw_i, sw_s0, sw_s1, sw3, want3 = _hyb_extend_pool(
+            in_pool, sw_i, sw_s0, sw_s1, sw3, want3 = _switch_pool(
                 hyb, start_i, n0, n1, v_base, p_ok, Mh, any_fn=any_fn
             )
             fm_act = p_ok & ~in_pool
         i_res, r0, r1, n_surv_v = _extend_two_stage(
             rank_pair2, flat_codes, v_base,
             v_qi - 1, v_code, start_i, n0, n1, fm_act, cap2, any_fn=any_fn,
+            flatp=flatp_g,
         )
         if level == mismatches and hyb is not None:
             i_res = jnp.where(in_pool, sw_i, i_res)

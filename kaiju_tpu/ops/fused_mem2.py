@@ -50,36 +50,14 @@ NLET = 20
 # ---------------------------------------------------------------------------
 
 
-def _step2(rec, C, flat_codes, base, st, rank_pair=None):
-    """One masked backward-extension step, branch-free: two unpaired
-    fused-record row gathers per lane (lax.cond branches copy their
-    operands on TPU and cost more than the extra gather).
-    st = (i, si0, si1, active)."""
+def _step_c(rec, rec2, C, c, st, rank_pair=None):
+    """One masked backward-extension step with the character ALREADY in
+    hand (c int32 [N]).  Rank backend: injected rank_pair (mesh), paired
+    rec2 rows, or two unpaired rec gathers.  st = (i, si0, si1, active)."""
     i, a0, a1, act = st
-    cpos = jnp.where(act, base + i - 1, 0)
-    c = flat_codes[cpos].astype(jnp.int32)
     if rank_pair is not None:
         n0, n1 = rank_pair(c, a0, a1)
-    else:
-        n0 = rank_fused(rec, C, c, a0)
-        n1 = rank_fused(rec, C, c, a1)
-    ok = act & (n0 < n1)
-    a0 = jnp.where(ok, n0, a0)
-    a1 = jnp.where(ok, n1, a1)
-    i = jnp.where(ok, i - 1, i)
-    return i, a0, a1, ok & (i > 0)
-
-
-def _paired_step(rec2, C, flat_codes, base, st, rank_pair=None):
-    """One masked backward-extension step; ONE paired-row gather per lane
-    (two when any lane's interval straddles >2 blocks — rare after the
-    seed).  st = (i, si0, si1, active)."""
-    i, a0, a1, act = st
-    cpos = jnp.where(act, base + i - 1, 0)
-    c = flat_codes[cpos].astype(jnp.int32)
-    if rank_pair is not None:
-        n0, n1 = rank_pair(c, a0, a1)
-    else:
+    elif rec2 is not None:
         nb = rec2.shape[0]
         b0 = jnp.minimum(a0 >> 7, nb - 1)
         wide = act & ((a1 >> 7) > b0 + 1)
@@ -102,6 +80,9 @@ def _paired_step(rec2, C, flat_codes, base, st, rank_pair=None):
             return n0, n1
 
         n0, n1 = jax.lax.cond(jnp.any(wide), twog, paired, None)
+    else:
+        n0 = rank_fused(rec, C, c, a0)
+        n1 = rank_fused(rec, C, c, a1)
     ok = act & (n0 < n1)
     a0 = jnp.where(ok, n0, a0)
     a1 = jnp.where(ok, n1, a1)
@@ -109,24 +90,47 @@ def _paired_step(rec2, C, flat_codes, base, st, rank_pair=None):
     return i, a0, a1, ok & (i > 0)
 
 
-def _full_extend(rec, C, flat_codes, base, st, rank_pair, any_fn):
-    anyf = any_fn or jnp.any
-    i, s0, s1, _ = jax.lax.while_loop(
-        lambda st: anyf(st[3]),
-        lambda st: _step2(rec, C, flat_codes, base, st, rank_pair),
-        st,
-    )
-    return i, s0, s1
+def _step2(rec, C, flat_codes, base, st, rank_pair=None):
+    """One masked backward-extension step, branch-free: two unpaired
+    fused-record row gathers per lane (lax.cond branches copy their
+    operands on TPU and cost more than the extra gather).
+    st = (i, si0, si1, active)."""
+    i, a0, a1, act = st
+    cpos = jnp.where(act, base + i - 1, 0)
+    c = flat_codes[cpos].astype(jnp.int32)
+    return _step_c(rec, None, C, c, st, rank_pair)
+
+
+def _paired_step(rec2, C, flat_codes, base, st, rank_pair=None):
+    """One masked backward-extension step; ONE paired-row gather per lane
+    (two when any lane's interval straddles >2 blocks — rare after the
+    seed).  st = (i, si0, si1, active)."""
+    i, a0, a1, act = st
+    cpos = jnp.where(act, base + i - 1, 0)
+    c = flat_codes[cpos].astype(jnp.int32)
+    return _step_c(None, rec2, C, c, st, rank_pair)
+
+
+UNROLL = 4  # FM steps per while-loop iteration: every iteration of a
+# lax.while_loop pays a fixed ~1 ms of loop-state staging copies +
+# cond-reduce sync on TPU (measured, see ROOFLINE.md §3b), so
+# data-dependent loops take several dependent steps per trip — dead
+# lanes just keep their state, and the trip count (and its overhead)
+# drops 4x.
 
 
 def _extend_paired(rec2, C, flat_codes, base, i, s0, s1, act):
     """Backward-extend flat lanes to completion with paired-row gathers
     (used by the Greedy co-simulation's resumed extensions,
     kaiju_tpu.ops.device_index.extend_from_rec)."""
+
+    def body(st):
+        for _ in range(UNROLL):
+            st = _paired_step(rec2, C, flat_codes, base, st)
+        return st
+
     i, s0, s1, _ = jax.lax.while_loop(
-        lambda st: jnp.any(st[3]),
-        lambda st: _paired_step(rec2, C, flat_codes, base, st),
-        (i, s0, s1, act),
+        lambda st: jnp.any(st[3]), body, (i, s0, s1, act),
     )
     return i, s0, s1
 
@@ -187,15 +191,33 @@ def _align_rev(R, a):
     return RV[:, :128]
 
 
-def _text_extend(textp, flatp, p, qg, avail_q, act, any_fn=None):
+def _rev_window(flatp, qg, act):
+    """w[:, t] = flat[qg - 1 - t] for t in 0..127 (0 when out of range):
+    ONE paired-row gather + lane-local alignment.  Preloading a lane's
+    next 128 query characters turns the per-FM-step char gather (a
+    descriptor-rate-bound [N]-row gather per step) into a free static
+    column read: in the burn-in and completion loops every ALIVE lane
+    consumes exactly one character per step, so the character at step t
+    since the window was taken is w[:, t]."""
+    qtb = flatp.shape[0]
+    start_q = jnp.maximum(qg - 128, 0)
+    bq = start_q >> 7
+    Qrow = flatp[jnp.clip(jnp.where(act, bq, 0), 0, qtb - 1)]
+    a_q = qg - 1 - (bq << 7)
+    return _align_rev(Qrow, a_q)
+
+
+def _text_extend(textp, flatp, p, qg, avail_q, act, any_fn=None,
+                 text_row=None):
     """Longest u such that text[p-1-t] == flat[qg-1-t] for all t < u,
     t < avail_q, t < p, and the text char is a letter (> 0) — the
     direct-comparison equivalent of running the FM extension loop for
     one known occurrence, 128 chars per round (2 row gathers) instead
-    of one char per step."""
+    of one char per step.  text_row(bt, cont) -> [n, 256] overrides the
+    local textp row gather (mesh: owner-computed + psum)."""
     anyf = any_fn or jnp.any
     n = p.shape[0]
-    ntb = textp.shape[0]
+    ntb = textp.shape[0] if textp is not None else 1
     qtb = flatp.shape[0]
 
     def body(st):
@@ -203,7 +225,10 @@ def _text_extend(textp, flatp, p, qg, avail_q, act, any_fn=None):
         pe = p - ext
         start_t = jnp.maximum(pe - 128, 0)
         bt = start_t >> 7
-        Trow = textp[jnp.clip(jnp.where(cont, bt, 0), 0, ntb - 1)]
+        if text_row is not None:
+            Trow = text_row(bt, cont)
+        else:
+            Trow = textp[jnp.clip(jnp.where(cont, bt, 0), 0, ntb - 1)]
         a_t = pe - 1 - (bt << 7)
         qe = qg - ext
         start_q = jnp.maximum(qe - 128, 0)
@@ -229,6 +254,78 @@ def _text_extend(textp, flatp, p, qg, avail_q, act, any_fn=None):
         (jnp.zeros((n,), jnp.int32), act & (avail_q > 0) & (p > 0)),
     )
     return ext
+
+
+def _ladder_walk(body, state0, N, done_of, set_done, anyf,
+                 burn=8, rungs=2, unroll=4):
+    """Run the LF-walk `body` over a tuple of [N]-lane state arrays with
+    a COMPACTING LADDER: `burn` straight-line steps at full width (each
+    step resolves a lane with prob ~1/2^chpt_exp, so most lanes finish
+    early), then the not-done stragglers compact to half width, burn
+    again, compact again, and an unrolled while-loop finishes the tail
+    at width N >> rungs.  Without this, the straggler tail (~70 steps
+    for the slowest of 32k lanes at chpt_exp=3) runs at FULL width —
+    the single biggest gather bill in the classify tail (ROOFLINE §3b).
+
+    done_of(st) -> bool [n]; set_done(st, done) -> st.  Lanes that
+    overflow a rung's capacity (whp none — caps are 2x the expected
+    straggler count) finish in the pre-rung buffer via a fallback loop.
+    Results propagate by scattering the rung's state back into the
+    wider buffer at its original lane indices."""
+    st = state0
+    for _ in range(burn):
+        st = body(st)
+
+    def unrolled(st):
+        for _ in range(unroll):
+            st = body(st)
+        return st
+
+    pend = []  # (wide_st, orig_idx_in_wide, overflow_mask)
+    n = N
+    for _ in range(rungs):
+        cap = max(n // 2, 128)
+        undone = ~done_of(st)
+        slot = jnp.cumsum(undone, dtype=jnp.int32) - 1
+        in_rung = undone & (slot < cap)
+        slot = jnp.where(in_rung, slot, cap)
+
+        def comp(vals, fill):
+            return jnp.full((cap + 1,), fill, vals.dtype).at[slot].set(
+                vals, mode="drop"
+            )[:cap]
+
+        orig = comp(
+            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0],
+            jnp.int32(n),
+        )
+        rung_st = tuple(comp(v, 0) for v in st)
+        rung_st = set_done(rung_st, comp(in_rung, False) == 0)
+        pend.append((st, orig, undone & ~in_rung))
+        st = rung_st
+        n = cap
+        for _ in range(burn):
+            st = body(st)
+
+    st = jax.lax.while_loop(
+        lambda s: anyf(~done_of(s)), unrolled, st
+    )
+
+    # scatter rung results back out, widest last; overflow lanes (whp
+    # none) finish in their original buffer
+    for wide_st, orig, ov in reversed(pend):
+        wn = wide_st[0].shape[0]
+        idx = jnp.where(orig < wn, orig, wn)
+        merged = tuple(
+            jnp.concatenate([w, w[:1]]).at[idx].set(r, mode="drop")[:wn]
+            for w, r in zip(wide_st, st)
+        )
+        merged = set_done(merged, done_of(merged) | ~ov)
+        st = jax.lax.while_loop(
+            lambda s: anyf(~done_of(s)), unrolled, merged
+        )
+    return st
+
 
 
 def _walk_pos(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf, any_fn=None):
@@ -296,10 +393,13 @@ def _walk_pos(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf, any_fn=None):
         done = done | hit_term | at_chk
         return k, steps, done, iseq, pos
 
-    _, _, _, iseq, pos = jax.lax.while_loop(
-        lambda st: anyf(~st[2]), body, (kf, steps, done, iseq, pos)
+    st = _ladder_walk(
+        body, (kf, steps, done, iseq, pos), N,
+        done_of=lambda s: s[2],
+        set_done=lambda s, d: (s[0], s[1], d, s[3], s[4]),
+        anyf=anyf,
     )
-    return iseq, pos
+    return st[3], st[4]
 
 
 # ---------------------------------------------------------------------------
@@ -309,10 +409,112 @@ def _walk_pos(rec, C, sa_seq, sa_off, nseq, chpt_exp, kf, any_fn=None):
 LADDER_FLOOR = 2048  # smallest worklist rung (legacy ladder)
 
 
+def _switch_pool(hyb, start_i, s0, s1, base, act, cap_occ, any_fn=None,
+                 voff=0):
+    """Occurrence-compacted text-switch pool, shared by the MEM
+    funnel's stage-2 finish and the Greedy last-level hybrid: lanes
+    whose SA interval is <= SW_WCAP wide compact ONE SLOT PER
+    OCCURRENCE, SA-walk each occurrence to its text position
+    (hyb["walk_pos"]), and finish the extension by direct text
+    comparison (128 chars per gather, _text_extend) instead of one FM
+    step per character.  Lanes that don't fit (wide intervals / pool
+    overflow) stay out (in_pool False) — capacity never affects
+    correctness; want_occ is the occupancy the pool WANTED so callers
+    can grow capacity.
+
+    start_i: per-lane remaining query chars (the comparison reads
+    flat[base + start_i - 1 - t]); s0/s1: SA interval.  Returns
+    (in_pool, sw_i, sw_s0, sw_s1, sw_ids, want_occ); sw_s0/s1 are
+    VBASE+voff-encoded virtual rows whose occurrence ids sit in SA
+    order in sw_ids (LF steps are monotone, so surviving occurrences
+    keep their relative order; the id list equals ids_from_SI's,
+    reference: ConsumerThread.cpp:799-845)."""
+    anyf = any_fn or jnp.any
+    N = act.shape[0]
+    width = jnp.where(act, s1 - s0, SW_WCAP + 1)
+    narrow = act & (width <= SW_WCAP) & (start_i > 0)
+    occ_cnt = jnp.where(narrow, width, 0)
+    occ_start = jnp.cumsum(occ_cnt) - occ_cnt
+    in_pool = narrow & (occ_start + occ_cnt <= cap_occ)
+    total_occ = jnp.sum(jnp.where(in_pool, occ_cnt, 0))
+    want_occ = jnp.sum(occ_cnt)
+
+    # pool slot -> owning lane: occ_start is strictly increasing over
+    # in_pool lanes, so marking starts + cumsum yields the lane RANK
+    # per slot; lane_idx maps rank -> lane row
+    srange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
+    starts = jnp.zeros((cap_occ + 1,), jnp.int32).at[
+        jnp.where(in_pool, occ_start, cap_occ)
+    ].add(1, mode="drop")[:cap_occ]
+    seg = jnp.cumsum(starts) - 1
+    n_in = jnp.sum(in_pool, dtype=jnp.int32)
+    _, lane_idx = _compact_cols(
+        in_pool, cap_occ,
+        jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0],
+        fills=(N,),
+    )
+    pool_lane = lane_idx[jnp.clip(seg, 0, cap_occ - 1)]
+    valid_s = (srange < total_occ) & (pool_lane < N)
+    pl = jnp.where(valid_s, pool_lane, 0)
+    pool_off = srange - occ_start[pl]
+    chpt = hyb["chpt_exp"]
+    pad_k = ((hyb["nseq"] >> chpt) + 1) << chpt
+    pool_k = jnp.where(valid_s, s0[pl] + pool_off, pad_k)
+    iseq, pos = hyb["walk_pos"](pool_k)
+    # occurrence start in the global text, then compare backwards
+    p = jnp.where(
+        valid_s,
+        hyb["rank_start"][
+            jnp.clip(iseq, 0, hyb["rank_start"].shape[0] - 1)
+        ] + pos,
+        0,
+    )
+    qg = (base + start_i)[pl]
+    avail_q = start_i[pl]
+    ext = _text_extend(
+        hyb.get("textp"), hyb["flatp"], p, qg, avail_q, valid_s,
+        any_fn=any_fn, text_row=hyb.get("text_row"),
+    )
+    ext = jnp.where(valid_s, ext, -1)
+    maxext_seg = jax.ops.segment_max(
+        ext, jnp.where(valid_s, seg, cap_occ), num_segments=cap_occ + 1
+    )[:cap_occ]
+    ach = valid_s & (ext == maxext_seg[jnp.clip(seg, 0, cap_occ - 1)])
+    # rank within the lane's slot run (ascending slot == ascending SA
+    # order) -> compact achieving ids to the segment start so
+    # sw_ids[occ_start + r] enumerates them
+    incl = jnp.cumsum(ach.astype(jnp.int32))
+    ex = incl - ach.astype(jnp.int32)
+    seg_first = occ_start[pl]
+    ex0 = ex[jnp.clip(seg_first, 0, cap_occ - 1)]
+    rank = ex - ex0
+    dst = jnp.where(ach, seg_first + rank, cap_occ)
+    sw_ids = jnp.zeros((cap_occ + 1,), jnp.int32).at[dst].set(
+        jnp.where(valid_s, iseq, 0), mode="drop"
+    )[:cap_occ]
+    n_ach_seg = jax.ops.segment_sum(
+        ach.astype(jnp.int32), jnp.where(valid_s, seg, cap_occ),
+        num_segments=cap_occ + 1,
+    )[:cap_occ]
+    # back to lane rows: rank r belongs to lane lane_idx[r]
+    rrange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
+    lane_dst = jnp.where(rrange < n_in, lane_idx, N)
+    maxext_lane = jnp.zeros((N + 1,), jnp.int32).at[lane_dst].set(
+        maxext_seg, mode="drop"
+    )[:N]
+    n_ach_lane = jnp.zeros((N + 1,), jnp.int32).at[lane_dst].set(
+        n_ach_seg, mode="drop"
+    )[:N]
+    sw_i = start_i - jnp.maximum(maxext_lane, 0)
+    sw_s0 = VBASE + voff + occ_start
+    sw_s1 = sw_s0 + jnp.maximum(n_ach_lane, 1)
+    return in_pool, sw_i, sw_s0, sw_s1, sw_ids, want_occ
+
+
 def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
                    lane_fid, lane_j, act, K, cap0,
                    rank_pair=None, any_fn=None, count_fn=None, rec2=None,
-                   hyb=None):
+                   hyb=None, flatp=None):
     """Evaluate the maximal backward extension ending at each active lane.
 
     kid: PER-LANE K-mer id [N]; lane_fid/lane_j: fragment id and local
@@ -400,18 +602,23 @@ def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
             return _paired_step(rec2, C, flat_codes, base, st)
         return _step2(rec, C, flat_codes, base, st, rank_pair)
 
-    # ---- stage 1: fixed-trip burn-in at full width ---------------------
-    def s1_cond(st):
-        return (st[0] < S1_STEPS) & anyf(st[1][3])
+    step_rec = rec if rank_pair is not None or rec2 is None else None
+    if flatp is None:
+        flatp = build_flatp(flat_codes)
 
-    def s1_body(st):
-        t, inner = st
-        return t + 1, fm_step(inner, cbase)
-
-    nsteps, (ci, cs0, cs1, alive) = jax.lax.while_loop(
-        s1_cond, s1_body, (jnp.int32(0), (ci, cs0, cs1, alive))
-    )
-    bill = nsteps * cap0
+    # ---- stage 1: fixed-trip burn-in at full width, STRAIGHT-LINE
+    # with a PRELOADED character window: a while loop would pay ~1 ms/
+    # iteration of loop-state staging copies + a cond-reduce sync
+    # (ROOFLINE.md §3b), and a per-step char gather would pay one more
+    # descriptor-rate-bound [cap0]-row gather per step.  Alive lanes
+    # consume exactly one character per step, so w1[:, t] IS the step-t
+    # character; dead lanes read garbage columns but are masked. ------
+    w1 = _rev_window(flatp, cbase + ci, cact).astype(jnp.int32)
+    st_ = (ci, cs0, cs1, alive)
+    for t in range(S1_STEPS):
+        st_ = _step_c(step_rec, rec2, C, w1[:, t], st_, rank_pair)
+    ci, cs0, cs1, alive = st_
+    bill = jnp.int32(S1_STEPS) * cap0
     res_i = scatter(res_i, corig, ci, cact)
     res_s0 = scatter(res_s0, corig, cs0, cact)
     res_s1 = scatter(res_s1, corig, cs1, cact)
@@ -438,111 +645,54 @@ def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
     if hyb is None:
         fm_lanes = alive2
     else:
-        # occurrence-compacted switch pool: ONE slot per live occurrence
-        # (widths are mostly 1-2 after the burn-in depth, so the pool is
+        # occurrence-compacted switch pool (shared helper; widths are
+        # mostly 1-2 after the burn-in depth, so the pool is
         # ~n_survivors wide, not cap * SW_WCAP).  Lanes that don't fit
         # (wide intervals / pool overflow) gracefully stay on the FM
-        # completion loop — capacity never affects correctness.
-        cap_occ = cap_sw
-        width = jnp.where(alive2, cs12 - cs02, SW_WCAP + 1)
-        narrow = alive2 & (width <= SW_WCAP)
-        occ_cnt = jnp.where(narrow, width, 0)
-        occ_start = jnp.cumsum(occ_cnt) - occ_cnt
-        in_pool = narrow & (occ_start + occ_cnt <= cap_occ)
+        # completion loop — capacity never affects correctness; the
+        # reported `need` grows cap0 until the pool fits.
+        in_pool, sw_i, sw_s0, sw_s1, sw_ids, want_occ = _switch_pool(
+            hyb, ci2, cs02, cs12, cbase2, alive2, cap_sw,
+            any_fn=any_fn, voff=hyb.get("voff", 0),
+        )
         fm_lanes = alive2 & ~in_pool
-        total_occ = jnp.sum(jnp.where(in_pool, occ_cnt, 0))
-        # pool overflow is CORRECT but slow (overflow lanes run the FM
-        # completion's long tails); report the wanted occupancy so the
-        # capacity-retry loop grows cap0 until the pool fits
-        want_occ = jnp.sum(occ_cnt)
         need = jnp.maximum(need, 2 * want_occ)
-
-        # pool slot -> owning buffer2 row: occ_start is strictly
-        # increasing over in_pool lanes, so marking starts + cumsum
-        # yields the lane RANK per slot; lane_idx maps rank -> row
-        srange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
-        starts = jnp.zeros((cap_occ + 1,), jnp.int32).at[
-            jnp.where(in_pool, occ_start, cap_occ)
-        ].add(1, mode="drop")[:cap_occ]
-        seg = jnp.cumsum(starts) - 1
-        _, lane_idx = _compact_cols(
-            in_pool, cap_occ,
-            jax.lax.broadcasted_iota(jnp.int32, (cap_sw, 1), 0)[:, 0],
-        )
-        pool_lane = lane_idx[jnp.clip(seg, 0, cap_occ - 1)]
-        valid_s = srange < total_occ
-        pl = jnp.where(valid_s, pool_lane, 0)
-        pool_off = srange - occ_start[pl]
-        chpt = hyb["chpt_exp"]
-        pad_k = ((hyb["nseq"] >> chpt) + 1) << chpt
-        pool_k = jnp.where(valid_s, cs02[pl] + pool_off, pad_k)
-        iseq, pos = _walk_pos(
-            rec, C, hyb["sa_seq"], hyb["sa_off"], hyb["nseq"], chpt,
-            pool_k, any_fn=any_fn,
-        )
-        # occurrence start in the global text, then compare backwards
-        p = jnp.where(
-            valid_s,
-            hyb["rank_start"][
-                jnp.clip(iseq, 0, hyb["rank_start"].shape[0] - 1)
-            ] + pos,
-            0,
-        )
-        qg = (cbase2 + ci2)[pl]
-        avail_q = ci2[pl]
-        ext = _text_extend(
-            hyb["textp"], hyb["flatp"], p, qg, avail_q, valid_s,
-            any_fn=any_fn,
-        )
-        ext = jnp.where(valid_s, ext, -1)
-        maxext_seg = jax.ops.segment_max(
-            ext, jnp.where(valid_s, seg, cap_occ), num_segments=cap_occ + 1
-        )[:cap_occ]
-        ach = valid_s & (ext == maxext_seg[jnp.clip(seg, 0, cap_occ - 1)])
-        # rank within the lane's slot run (ascending slot == ascending
-        # SA order, preserved by LF monotony) -> compact achieving ids
-        # to the segment start so sw_flat[occ_start + r] enumerates them
-        incl = jnp.cumsum(ach.astype(jnp.int32))
-        ex = incl - ach.astype(jnp.int32)
-        seg_first = occ_start[pl]
-        ex0 = ex[jnp.clip(seg_first, 0, cap_occ - 1)]
-        rank = ex - ex0
-        dst = jnp.where(ach, seg_first + rank, cap_occ)
-        sw_ids = jnp.zeros((cap_occ + 1,), jnp.int32).at[dst].set(
-            jnp.where(valid_s, iseq, 0), mode="drop"
-        )[:cap_occ]
-        n_ach_seg = jax.ops.segment_sum(
-            ach.astype(jnp.int32), jnp.where(valid_s, seg, cap_occ),
-            num_segments=cap_occ + 1,
-        )[:cap_occ]
-        # back to buffer2 rows: rank r of lane row lane_idx[r]
-        rrange = jax.lax.broadcasted_iota(jnp.int32, (cap_occ, 1), 0)[:, 0]
-        lane_dst = jnp.where(
-            rrange < jnp.sum(in_pool, dtype=jnp.int32), lane_idx, cap_sw
-        )
-        maxext_lane = jnp.zeros((cap_sw + 1,), jnp.int32).at[
-            lane_dst
-        ].set(maxext_seg, mode="drop")[:cap_sw]
-        n_ach_lane = jnp.zeros((cap_sw + 1,), jnp.int32).at[
-            lane_dst
-        ].set(n_ach_seg, mode="drop")[:cap_sw]
-        sw_i = ci2 - jnp.maximum(maxext_lane, 0)
-        sw_s0 = VBASE + hyb.get("voff", 0) + occ_start
-        sw_s1 = sw_s0 + jnp.maximum(n_ach_lane, 1)
         res_i = scatter(res_i, corig2, sw_i, in_pool)
         res_s0 = scatter(res_s0, corig2, sw_s0, in_pool)
         res_s1 = scatter(res_s1, corig2, sw_s1, in_pool)
 
-    # FM completion for the remaining (wide-interval / non-hyb) lanes
+    # FM completion for the remaining (wide-interval / non-hyb) lanes;
+    # UNROLL dependent steps per trip amortize the loop overhead, and a
+    # preloaded 128-char window replaces the per-step char gather
+    # (dynamic column reads; the window covers 128 steps — the rare
+    # lane still alive past that falls through to the char-gather loop)
+    w2 = _rev_window(flatp, cbase2 + ci2, alive2).astype(jnp.int32)
+
     def s2_cond(st):
-        return anyf(st[1][3])
+        tc, b, inner = st
+        return (tc < 128) & anyf(inner[3])
 
     def s2_body(st):
+        tc, b, inner = st
+        for u in range(UNROLL):
+            c = jax.lax.dynamic_slice_in_dim(w2, tc + u, 1, axis=1)[:, 0]
+            inner = _step_c(step_rec, rec2, C, c, inner, rank_pair)
+        return tc + UNROLL, b + UNROLL * cap_sw, inner
+
+    _, bill, (fi, fs0, fs1, falive) = jax.lax.while_loop(
+        s2_cond, s2_body,
+        (jnp.int32(0), bill, (ci2, cs02, cs12, fm_lanes)),
+    )
+
+    def s3_body(st):
         b, inner = st
-        return b + cap_sw, fm_step(inner, cbase2)
+        for _ in range(UNROLL):
+            inner = fm_step(inner, cbase2)
+        return b + UNROLL * cap_sw, inner
 
     bill, (fi, fs0, fs1, _) = jax.lax.while_loop(
-        s2_cond, s2_body, (bill, (ci2, cs02, cs12, fm_lanes))
+        lambda st: anyf(st[1][3]), s3_body,
+        (bill, (fi, fs0, fs1, falive)),
     )
     res_i = scatter(res_i, corig2, fi, fm_lanes)
     res_s0 = scatter(res_s0, corig2, fs0, fm_lanes)
@@ -591,6 +741,8 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     F = frag_off.shape[0] - 1
     c32 = flat_codes.astype(jnp.int32)
     flen_f = frag_off[1:] - frag_off[:-1]
+    flatp = build_flatp(flat_codes)  # query-side 256-char rows, shared
+    # by the extension windows and the hybrid text comparison
 
     # ---- phase 1: rightmost-W strip (ascending j in w) -----------------
     w = jax.lax.broadcasted_iota(jnp.int32, (F, W), 1)
@@ -626,7 +778,7 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
         rec, C, seed_rec, flat_codes,
         frag_off, kid1, fgrid.reshape(-1), strip_j.reshape(-1), act1,
         K, Ms, rank_pair=rank_pair, any_fn=any_fn, count_fn=count_fn,
-        rec2=rec2, hyb=hyb1,
+        rec2=rec2, hyb=hyb1, flatp=flatp,
     )
     i1g = i1.reshape(F, W)
     s01g = s01.reshape(F, W)
@@ -642,13 +794,30 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
     resolved = found | exhausted
 
     # ---- P-length pre-pass (post-strip; consumed before the phase-2
-    # ladder starts, so none of it crosses a loop boundary) --------------
+    # ladder starts, so none of it crosses a loop boundary).  The
+    # per-position fragment attributes (start, end, resolved) come from
+    # scatter-at-starts + cummax fills, NOT frag_off[fid]-style gathers:
+    # a [P]-row gather is descriptor-rate bound (~70 ms at P = 8M),
+    # while a scan is bandwidth-bound (ROOFLINE.md §1) -----------------
     parange = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
     bumps = jnp.zeros((P + 1,), jnp.int32).at[frag_off[1:F]].add(1)[:P]
     fid = jnp.cumsum(bumps)
     fid = jnp.clip(fid, 0, F - 1)
-    fstart = frag_off[fid]
-    flen_p = frag_off[fid + 1] - fstart
+    starts_v = frag_off[:F]
+
+    def start_fill(vals):
+        # vals[f] at position frag_off[f], forward-filled; vals must be
+        # non-decreasing in f.  Ties (empty fragments share their start
+        # with the next fragment) resolve to the LAST fragment at that
+        # start — the owner of the positions that follow.
+        arr = jnp.zeros((P,), jnp.int32).at[starts_v].max(
+            vals, mode="drop"
+        )
+        return jax.lax.cummax(arr)
+
+    fstart = start_fill(starts_v)
+    fend = start_fill(frag_off[1 : F + 1])
+    flen_p = fend - fstart
     j_local = parange - fstart
     usable = (j_local >= j0) & (j_local < flen_p)
 
@@ -673,7 +842,12 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
         screened = usable
 
     # ---- phase 2: remaining screened positions of unresolved fragments
-    need2_mask = screened & ~resolved[fid] & (j_local < flen_p - W)
+    # (per-position resolved bit via a tagged cummax fill, same reason)
+    f_iota = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)[:, 0]
+    resolved_p = (
+        start_fill(f_iota * 2 + resolved.astype(jnp.int32)) & 1
+    ) > 0
+    need2_mask = screened & ~resolved_p & (j_local < flen_p - W)
     n2 = jnp.sum(need2_mask, dtype=jnp.int32)
     slot = jnp.cumsum(need2_mask, dtype=jnp.int32) - 1
     slot = jnp.where(need2_mask & (slot < M2), slot, M2)
@@ -694,7 +868,7 @@ def _search_phases(rec, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
         rec, C, seed_rec, flat_codes,
         frag_off, kid2, fid2, j2, v2, K, M2,
         rank_pair=rank_pair, any_fn=any_fn, count_fn=count_fn,
-        rec2=rec2, hyb=hyb2,
+        rec2=rec2, hyb=hyb2, flatp=flatp,
     )
     sw_ids = (
         jnp.concatenate([sw1, sw2], axis=0) if hyb is not None else None

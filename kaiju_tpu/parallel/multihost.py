@@ -65,6 +65,40 @@ def put_global(arr: np.ndarray, mesh, spec):
     )
 
 
+def local_data_rows(mesh) -> list[int]:
+    """Data-axis rows whose devices (any index shard) belong to THIS
+    process — the read sub-batches this process must fragment, upload
+    and collect.  Single-process: every row."""
+    import jax
+
+    pid = jax.process_index()
+    dev_arr = np.asarray(mesh.devices)  # [D, S]
+    return [
+        d for d in range(dev_arr.shape[0])
+        if any(dev.process_index == pid for dev in dev_arr[d])
+    ]
+
+
+def put_rows(parts: dict[int, np.ndarray], global_shape, dtype, mesh,
+             spec):
+    """Host rows -> P("data")-sharded global array; `parts` maps
+    data-row index -> [*(global_shape[1:])] array and need only contain
+    THIS process's rows (local_data_rows).  Works single-process too
+    (all rows present)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+
+    def cb(idx):
+        rows = range(*idx[0].indices(global_shape[0]))
+        return np.ascontiguousarray(
+            np.stack([parts[r] for r in rows]).astype(dtype, copy=False)
+        )
+
+    return jax.make_array_from_callback(tuple(global_shape), sharding, cb)
+
+
 def local_rows(global_out) -> dict[int, np.ndarray]:
     """Addressable data-axis rows of a P("data")-sharded output:
     {global_row_index: row_value}."""

@@ -36,6 +36,19 @@ def _any_psum(x):
     return jax.lax.psum(jnp.sum(x.astype(jnp.int32)), "index") > 0
 
 
+def _hyb_uploads(sh):
+    """(textp rows, rank_start) host arrays for the hybrid, or minimal
+    dummies when the index ships no text / is too large for the
+    VBASE virtual-row encoding (the builders then compile with the
+    hybrid disabled and never read them)."""
+    if sh.has_text and sh.length < (1 << 30):
+        return sh.textp_sh, sh.rank_start
+    return (
+        np.zeros((sh.n_shards, 1, 2 * BLOCK), np.int8),
+        np.zeros(1, np.int32),
+    )
+
+
 def _make_rank1(blocks_s, occ_s, shard_base, C, nb_s):
     """Owner-computes rank over the index axis: the owning shard
     contributes checkpoint+count, the rest contribute zero, psum
@@ -63,9 +76,11 @@ def _make_rank1(blocks_s, occ_s, shard_base, C, nb_s):
 
 
 def _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s, sa_off_s,
-               nb_s, ns_s, nseq, chpt_exp):
+               nb_s, ns_s, nseq, chpt_exp, want_pos=False):
     """Owner-computes SA walk (get_suffix; reference bwt.c:105-121) on
-    the index axis, loops psum-lockstepped (call only inside shard_map)."""
+    the index axis, loops psum-lockstepped (call only inside shard_map).
+    With want_pos the walk also returns the suffix offset (the sharded
+    analog of fused_mem2._walk_pos, used by the hybrid switch pool)."""
     S_ = jax.lax.axis_size("index")
     my = jax.lax.axis_index("index")
     check = (1 << chpt_exp) - 1
@@ -85,10 +100,10 @@ def _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s, sa_off_s,
 
         steps = jnp.zeros(N, jnp.int32)
         done = (kf & check) == 0
-        iseq, _pos = sample(kf, steps)
+        iseq, pos = sample(kf, steps)
 
         def body(st):
-            k, steps, done, iseq = st
+            k, steps, done, iseq, pos = st
             b = k >> 7
             owner = jnp.minimum(b // nb_s, S_ - 1)
             mine = owner == my
@@ -115,21 +130,49 @@ def _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s, sa_off_s,
             )
             hit_term = ~done & (c == 0)
             iseq = jnp.where(hit_term, k_new, iseq)
+            pos = jnp.where(hit_term, steps, pos)
             stepping = ~done & ~hit_term
             k = jnp.where(stepping, k_new, k)
             steps = jnp.where(stepping, steps + 1, steps)
             at_chk = stepping & ((k & check) == 0)
-            s_iseq, _sp = sample(k, steps)
+            s_iseq, s_pos = sample(k, steps)
             iseq = jnp.where(at_chk, s_iseq, iseq)
+            pos = jnp.where(at_chk, s_pos, pos)
             done = done | hit_term | at_chk
-            return k, steps, done, iseq
+            return k, steps, done, iseq, pos
 
-        _, _, _, iseq = jax.lax.while_loop(
-            lambda st: _any_psum(~st[2]), body, (kf, steps, done, iseq)
+        _, _, _, iseq, pos = jax.lax.while_loop(
+            lambda st: _any_psum(~st[2]), body,
+            (kf, steps, done, iseq, pos),
         )
-        return iseq
+        return (iseq, pos) if want_pos else iseq
 
     return walk_fn
+
+
+def _make_hyb(sh, textp_s, rank_start, flat_codes, walk_pos_fn):
+    """Sharded hybrid arrays for the switch pool: the text side is
+    sharded by the same position ranges as the BWT, so each text row
+    gather owner-computes + psums exactly like a rank query
+    (ROOFLINE.md §5); the query side (flatp) is data-shard local."""
+    from ..ops.fused_mem2 import build_flatp
+
+    ntb_s = sh.ntb_s
+    S_ = jax.lax.axis_size("index")
+    my = jax.lax.axis_index("index")
+
+    def text_row(bt, cont):
+        owner = jnp.minimum(bt // ntb_s, S_ - 1)
+        mine = (owner == my) & cont
+        lb = jnp.clip(bt - my * ntb_s, 0, ntb_s - 1)
+        row = textp_s[lb].astype(jnp.int32)
+        return jax.lax.psum(jnp.where(mine[:, None], row, 0), "index")
+
+    return dict(
+        textp=None, text_row=text_row, rank_start=rank_start,
+        flatp=build_flatp(flat_codes), nseq=sh.nseq,
+        chpt_exp=sh.chpt_exp, walk_pos=walk_pos_fn,
+    )
 
 
 def make_sharded_mem_classify(
@@ -159,10 +202,12 @@ def make_sharded_mem_classify(
     ns_s = sh.ns_s
     nseq = sh.nseq
     chpt_exp = sh.chpt_exp
+    use_hyb = sh.has_text and sh.length < (1 << 30)  # VBASE encoding
 
     def per_device(
         blocks_s, occ_s, shard_base, C, sa_seq_s, sa_off_s,
         seed_rec, seq_tax, parent, depth, bloom_words,
+        textp_s, rank_start,
         flat_codes, frag_off, rf_rows,
     ):
         blocks_s = blocks_s[0]
@@ -177,27 +222,41 @@ def make_sharded_mem_classify(
         def rank_pair(c, a0, a1):
             return rank1(c, a0), rank1(c, a1)
 
+        walk_pos_fn = _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s,
+                                 sa_off_s, nb_s, ns_s, nseq, chpt_exp,
+                                 want_pos=True)
+        hyb = None
+        if use_hyb:
+            hyb = _make_hyb(sh, textp_s[0], rank_start, flat_codes,
+                            walk_pos_fn)
+
         ph = _search_phases(
             None, C, seed_rec, flat_codes, frag_off, K, j0, M2, Ms,
             rec2=None, rank_pair=rank_pair, any_fn=_any_psum,
             bloom_words=bloom_words if m > 0 else None, m=m, lb=lb,
+            hyb=hyb,
         )
         stats = _mem_stats(ph, min_len, T)
-        walk_fn = _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s,
-                             sa_off_s, nb_s, ns_s, nseq, chpt_exp)
+
+        def walk_fn(kf):
+            return walk_pos_fn(kf)[0]
 
         lca, longest, flags, n_ids = classify_tail(
             stats, rf_rows, walk_fn, seq_tax, parent, depth, T, R, cap,
-            nseq, chpt_exp, any_fn=_any_psum,
+            nseq, chpt_exp, any_fn=_any_psum, sw_ids=ph["sw_ids"],
         )
         out = jnp.stack([lca, longest, flags, n_ids], axis=1)
-        # trailing stats row: funnel overflow counters (identical on all
-        # index shards — every rank is psum-assembled before use), so the
-        # host can grow M2/Ms and retry exactly like the single-chip
-        # driver (engine/mem_fast._collect_tail)
-        stats_row = jnp.stack(
-            [ph["n2"], ph["nsurv"], jnp.int32(0), jnp.int32(0)]
-        )[None]
+        # trailing stats row: funnel overflow counters, pmax'd over the
+        # WHOLE mesh so every data shard (and hence every PROCESS in a
+        # multi-host run) sees the same values — the capacity-retry
+        # decision must be identical everywhere or SPMD programs would
+        # diverge (engine/mem_fast._collect_tail is the single-chip
+        # analog)
+        stats_row = jnp.stack([
+            jax.lax.pmax(ph["n2"], ("data", "index")),
+            jax.lax.pmax(ph["nsurv"], ("data", "index")),
+            jnp.int32(0), jnp.int32(0),
+        ])[None]
         return jnp.concatenate([out, stats_row], axis=0)[None]
 
     fn = jax.shard_map(
@@ -207,6 +266,7 @@ def make_sharded_mem_classify(
             P("index"), P("index"), None, None,   # blocks, occ, base, C
             P("index"), P("index"),               # SA samples
             None, None, None, None, None,         # seed/tax/bloom tables
+            P("index"), None,                     # text rows, rank_start
             P("data"), P("data"), P("data"),      # per-data-shard queries
         ),
         out_specs=P("data"),
@@ -249,11 +309,13 @@ def make_sharded_greedy_classify(
     ns_s = sh.ns_s
     nseq = sh.nseq
     chpt_exp = sh.chpt_exp
+    use_hyb = sh.has_text and sh.length < (1 << 30)  # VBASE encoding
 
     def per_device(
         blocks_s, occ_s, shard_base, C, sa_seq_s, sa_off_s,
         seed_rec, seq_tax, parent, depth, bloom_words,
         diag_tab, submat, subcode_tab, subdiag_tab,
+        textp_s, rank_start,
         flat_codes, frag_off, frag_rid,
     ):
         blocks_s = blocks_s[0]
@@ -273,15 +335,27 @@ def make_sharded_greedy_classify(
             a1c = jnp.where(act, a1, 0)
             return rank1(c, a0c), rank1(c, a1c)
 
+        walk_pos_fn = _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s,
+                                 sa_off_s, nb_s, ns_s, nseq, chpt_exp,
+                                 want_pos=True)
+        hyb = None
+        if use_hyb:
+            hyb = _make_hyb(sh, textp_s[0], rank_start, flat_codes,
+                            walk_pos_fn)
+
         def search_fn(M2_, Ms_):
+            # NO hyb in the level-0 funnel: its node intervals feed the
+            # variant levels' rank probes, which need real SA intervals
+            # (the hybrid's virtual rows only work in tie rows) — same
+            # restriction as the single-chip fused_greedy_classify
             return _search_phases(
                 None, C, seed_rec, flat_codes, frag_off, K, j0, M2_, Ms_,
                 rec2=None, rank_pair=rank_pair, any_fn=_any_psum,
                 bloom_words=bloom_words if m > 0 else None, m=m, lb=lb,
             )
 
-        walk_fn = _make_walk(blocks_s, occ_s, shard_base, C, sa_seq_s,
-                             sa_off_s, nb_s, ns_s, nseq, chpt_exp)
+        def walk_fn(kf):
+            return walk_pos_fn(kf)[0]
 
         out = greedy_core(
             search_fn, rank_pair2, walk_fn, _any_psum,
@@ -289,7 +363,13 @@ def make_sharded_greedy_classify(
             diag_tab, submat, subcode_tab, subdiag_tab,
             B, Lmap, mfl, min_score, mismatches,
             M2, Ms, Mn, Mv, Mt, max(Mv // 4, 2048), T, R, cap,
-            nseq, chpt_exp,
+            nseq, chpt_exp, hyb=hyb,
+        )
+        # overflow counters pmax'd over the whole mesh: every process
+        # must take the same capacity-retry decision (see the MEM
+        # builder's stats_row note)
+        out = out.at[B, :].set(
+            jax.lax.pmax(out[B, :], ("data", "index"))
         )
         return out[None]
 
@@ -301,6 +381,7 @@ def make_sharded_greedy_classify(
             P("index"), P("index"),               # SA samples
             None, None, None, None, None,         # seed/tax/bloom tables
             None, None, None, None,               # scoring tables
+            P("index"), None,                     # text rows, rank_start
             P("data"), P("data"), P("data"),      # per-data-shard queries
         ),
         out_specs=P("data"),
@@ -380,13 +461,19 @@ class ShardedGreedyClassifier:
         """Device-resident sharded index + replicated tables, uploaded
         once per process and reused by every classify call (the
         reference likewise loads the index once for all samples,
-        kaiju-multi.cpp:307)."""
+        kaiju-multi.cpp:307).  multihost.put_global keeps a
+        multi-process runtime to its locally-owned shards."""
         if self._dev is None:
+            from . import multihost
+
             def put(arr, spec):
-                return jax.device_put(arr, NamedSharding(self.mesh, spec))
+                return multihost.put_global(
+                    np.asarray(arr), self.mesh, spec
+                )
 
             sh = self.sh
             diag, submat, subcode, subdiag = self._tabs
+            textp, rstart = _hyb_uploads(sh)
             self._dev = (
                 put(sh.blocks_sh, P("index")), put(sh.occ_local, P("index")),
                 put(sh.shard_base, P()), put(sh.C, P()),
@@ -396,6 +483,7 @@ class ShardedGreedyClassifier:
                 put(self._bloom_np, P()),
                 put(diag, P()), put(submat, P()), put(subcode, P()),
                 put(subdiag, P()),
+                put(textp, P("index")), put(rstart, P()),
             )
         return self._dev
 
@@ -459,12 +547,15 @@ class ShardedGreedyClassifier:
         flat = np.stack([s[0] for s in shards])
         off = np.stack([s[1] for s in shards])
         rid = np.stack([s[2] for s in shards])
+        caps = (self._m2, self._ms, self._mn, self._mv, self._mt)
         out = self._dispatch(per, flat, off, rid)
-        return (reads, per, fallback, (flat, off, rid), out)
+        return (reads, per, fallback, (flat, off, rid), caps, out)
 
     def _dispatch(self, per, flat, off, rid):
+        from . import multihost
+
         def put(arr, spec):
-            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+            return multihost.put_global(arr, self.mesh, spec)
 
         return self._fn(per)(
             *self._index_args(),
@@ -478,20 +569,28 @@ class ShardedGreedyClassifier:
         from ..engine.core import ClassifyResult
         from ..ops.fused_greedy import FLAG_NEED_MORE, FLAG_TIE_OVER
 
+        from . import multihost
+
         cfg = self.cfg
-        reads, per, fallback, args, out = state
+        reads, per, fallback, args, caps, out = state
         flat, off, rid = args
-        D = self.n_data
         while True:
-            out = np.asarray(out)
-            n2 = int(out[:, per, 0].max())
-            n_surv = int(out[:, per, 1].max())
-            n_nodes = int(out[:, per, 2].max())
-            max_nv = int(out[:, per, 3].max())
-            n_ties = int(out[:, per, 4].max())
-            if (n2 <= self._m2 and n_surv <= self._ms
-                    and n_nodes <= self._mn and max_nv <= self._mv
-                    and n_ties <= self._mt):
+            rows = multihost.local_rows(out)  # {d: [B+1, 8]}
+            any_row = next(iter(rows.values()))
+            n2 = int(any_row[per, 0])
+            n_surv = int(any_row[per, 1])
+            n_nodes = int(any_row[per, 2])
+            max_nv = int(any_row[per, 3])
+            n_ties = int(any_row[per, 4])
+            want_h = int(any_row[per, 5])
+            # compare against the caps baked into the executable that
+            # produced THIS batch (self._* may have grown for a later
+            # in-flight batch; accepting against grown caps would keep
+            # silently-dropped lanes)
+            m2, ms, mn, mv, mt = caps
+            if (n2 <= m2 and n_surv <= ms and n_nodes <= mn
+                    and max_nv <= mv and n_ties <= mt
+                    and want_h <= max(mv // 4, 2048)):
                 break
             self._m2 = min(
                 self._bucket(max(self._m2, n2), 4096),
@@ -499,21 +598,28 @@ class ShardedGreedyClassifier:
             )
             self._ms = self._bucket(max(self._ms, n_surv), 4096)
             self._mn = self._bucket(max(self._mn, n_nodes), 4096)
-            self._mv = self._bucket(max(self._mv, max_nv), 4096)
+            # the hybrid pool capacity is Mv // 4, so pool overflow
+            # (correct but slow) grows Mv past 4x the wanted occupancy
+            self._mv = self._bucket(
+                max(self._mv, max_nv, 4 * want_h), 4096
+            )
             self._mt = self._bucket(max(self._mt, n_ties), 4096)
             self._caps.update(m2=self._m2, ms=self._ms, mn=self._mn,
                               mv=self._mv, mt=self._mt)
+            caps = (self._m2, self._ms, self._mn, self._mv, self._mt)
             out = self._dispatch(per, flat, off, rid)
 
-        for d in range(D):
+        local = set()
+        for d, arr in rows.items():
             for r in range(per):
                 g = d * per + r
-                if g < len(reads) and (
-                    int(out[d, r, 2]) & (FLAG_TIE_OVER | FLAG_NEED_MORE)
-                ):
+                if g >= len(reads):
+                    continue
+                local.add(g)
+                if int(arr[r, 2]) & (FLAG_TIE_OVER | FLAG_NEED_MORE):
                     fallback.add(g)
         redo = {}
-        fb = sorted(g for g in fallback if g < len(reads))
+        fb = sorted(g for g in fallback if g < len(reads) and g in local)
         if fb:
             if self._host is None:
                 from ..engine.greedy_fast import GreedyFastPipeline
@@ -527,11 +633,14 @@ class ShardedGreedyClassifier:
 
         results = []
         for g, (name, s1, s2) in enumerate(reads):
+            if g not in local:
+                results.append(None)
+                continue
             if g in redo:
                 results.append((name, redo[g]))
                 continue
             d, r = divmod(g, per)
-            lca, best, _fl, n_ids = (int(x) for x in out[d, r, :4])
+            lca, best, _fl, n_ids = (int(x) for x in rows[d][r, :4])
             if best <= 0 or n_ids == 0:
                 results.append((name, ClassifyResult(False, 0)))
                 continue
@@ -614,12 +723,19 @@ class ShardedMemClassifier:
     def _index_args(self):
         """Device-resident sharded index + replicated tables, uploaded
         once per process (cf. the reference loading the index once for
-        all samples, kaiju-multi.cpp:307)."""
+        all samples, kaiju-multi.cpp:307).  Uploads go through
+        multihost.put_global, so in a multi-process (DCN) runtime each
+        process materialises only the shards its local devices own."""
         if self._dev is None:
+            from . import multihost
+
             def put(arr, spec):
-                return jax.device_put(arr, NamedSharding(self.mesh, spec))
+                return multihost.put_global(
+                    np.asarray(arr), self.mesh, spec
+                )
 
             sh = self.sh
+            textp, rstart = _hyb_uploads(sh)
             self._dev = (
                 put(sh.blocks_sh, P("index")), put(sh.occ_local, P("index")),
                 put(sh.shard_base, P()), put(sh.C, P()),
@@ -627,6 +743,7 @@ class ShardedMemClassifier:
                 put(self._seed_rec, P()), put(self._seq_tax, P()),
                 put(self._parent, P()), put(self._depth, P()),
                 put(self._bloom_np, P()),
+                put(textp, P("index")), put(rstart, P()),
             )
         return self._dev
 
@@ -731,36 +848,49 @@ class ShardedMemClassifier:
                 rf[r, : len(o)] = o[: self.S]
             shards.append((flat, offs, rf))
 
+        from . import multihost
+
         def put(arr, spec):
-            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+            return multihost.put_global(arr, self.mesh, spec)
 
         flat = np.stack([s[0] for s in shards])
         off = np.stack([s[1] for s in shards])
         rf = np.stack([s[2] for s in shards])
-        out = self._fn(self._m2, self._ms)(
+        caps = (self._m2, self._ms)
+        out = self._fn(*caps)(
             *self._index_args(),
             put(flat, P("data")), put(off, P("data")), put(rf, P("data")),
         )
-        return (reads, per, fallback, (flat, off, rf), out)
+        return (reads, per, fallback, (flat, off, rf), caps, out)
 
     def collect_batch(self, state):
-        """Fetch + capacity-retry + flagged-read host replay."""
+        """Fetch + capacity-retry + flagged-read host replay.
+
+        Multi-process: every process fetches only its ADDRESSABLE
+        data-axis rows and returns results (with host replay) for THOSE
+        reads, None elsewhere — the caller merges per-process outputs.
+        The overflow counters are pmax'd over the whole mesh inside the
+        program, so every process takes the same retry decision.
+        Single-process: all rows are local and no entry is None."""
         from ..engine.mem_fast import MemFastPipeline
         from ..ops.fused_classify import FLAG_NEED_MORE, FLAG_TIE_OVER
+        from . import multihost
 
         cfg = self.cfg
-        reads, per, fallback, args, out = state
+        reads, per, fallback, args, caps, out = state
         flat, off, rf = args
-        D = self.n_data
 
         def put(arr, spec):
-            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+            return multihost.put_global(arr, self.mesh, spec)
 
         while True:
-            out = np.asarray(out)
-            n2 = int(out[:, -1, 0].max())
-            n_surv = int(out[:, -1, 1].max())
-            if n2 <= self._m2 and n_surv <= self._ms:
+            rows = multihost.local_rows(out)  # {d: [B+1, 4]}
+            any_row = next(iter(rows.values()))
+            n2 = int(any_row[-1, 0])
+            n_surv = int(any_row[-1, 1])
+            # validate against THIS batch's dispatch-time caps, not the
+            # (possibly since-grown) current ones
+            if n2 <= caps[0] and n_surv <= caps[1]:
                 break
             P_ = int(flat.shape[1])
             self._m2 = min(
@@ -769,22 +899,24 @@ class ShardedMemClassifier:
             )
             self._ms = self._bucket(max(self._ms, n_surv), 4096)
             self._caps.update(m2=self._m2, ms=self._ms)
-            out = self._fn(self._m2, self._ms)(
+            caps = (self._m2, self._ms)
+            out = self._fn(*caps)(
                 *self._index_args(),
                 put(flat, P("data")), put(off, P("data")),
                 put(rf, P("data")),
             )
-        out = out[:, :-1, :]
 
-        for d in range(D):
+        local = set()
+        for d, arr in rows.items():
             for r in range(per):
                 g = d * per + r
-                if g < len(reads) and (
-                    int(out[d, r, 2]) & (FLAG_TIE_OVER | FLAG_NEED_MORE)
-                ):
+                if g >= len(reads):
+                    continue
+                local.add(g)
+                if int(arr[r, 2]) & (FLAG_TIE_OVER | FLAG_NEED_MORE):
                     fallback.add(g)
         redo = {}
-        fb = sorted(g for g in fallback if g < len(reads))
+        fb = sorted(g for g in fallback if g < len(reads) and g in local)
         if fb:
             if self._host is None:
                 self._host = MemFastPipeline(
@@ -798,11 +930,14 @@ class ShardedMemClassifier:
 
         results = []
         for g, (name, _s1, _s2) in enumerate(reads):
+            if g not in local:
+                results.append(None)
+                continue
             if g in redo:
                 results.append((name, redo[g]))
                 continue
             d, r = divmod(g, per)
-            lca, score, _fl, n_ids = (int(x) for x in out[d, r])
+            lca, score, _fl, n_ids = (int(x) for x in rows[d][r])
             if score == 0 or n_ids == 0:
                 results.append((name, ClassifyResult(False, 0)))
             else:

@@ -72,6 +72,31 @@ class ShardedIndexArrays:
         self.nseq = index.nseq
         self.chpt_exp = index.chpt_exp
         self.length = index.length
+        # text shards for the hybrid long-match extension: paired
+        # 256-byte rows (row b covers text[128b : 128b+256]), sharded
+        # by ROW RANGE over the index axis — the same position ranges
+        # as the BWT blocks, so the text side owner-computes exactly
+        # like rank queries (ROOFLINE.md §5); rank_start is [nseq]
+        # int32, replicated like seq_tax
+        self.has_text = index.text is not None
+        self.textp_sh = None
+        self.rank_start = None
+        self.ntb_s = 0
+        if self.has_text:
+            text = np.asarray(index.text, dtype=np.uint8)
+            n = text.shape[0]
+            ntb = (n + BLOCK - 1) // BLOCK
+            ntb_s = -(-ntb // n_shards)
+            flat = np.zeros(ntb_s * n_shards * BLOCK + BLOCK, dtype=np.uint8)
+            flat[:n] = text
+            tp = np.lib.stride_tricks.as_strided(
+                flat, shape=(ntb_s * n_shards, 2 * BLOCK), strides=(BLOCK, 1)
+            )
+            self.ntb_s = ntb_s
+            self.textp_sh = np.ascontiguousarray(tp.view(np.int8)).reshape(
+                n_shards, ntb_s, 2 * BLOCK
+            )
+            self.rank_start = index.rank_text_starts().astype(np.int32)
 
 
 def _sharded_fmindex(blocks_s, occ_s, shard_base, C, nb_s, c, k):

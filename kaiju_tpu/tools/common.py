@@ -24,13 +24,61 @@ def open_output(path: str | None):
     return sys.stdout
 
 
-def make_runner(index, taxonomy, cfg: KaijuConfig):
+def make_runner(index, taxonomy, cfg: KaijuConfig, args=None):
     """Best engine for the configuration: the vectorized MEM pipeline when
-    applicable, the coroutine batch runner otherwise."""
+    applicable, the coroutine batch runner otherwise.  --mesh-index /
+    --dist-* (or KAIJU_TPU_NPROCS & co.) select the sharded mesh
+    classifiers, joining a multi-process jax.distributed runtime when a
+    coordinator is given — each process then classifies and OUTPUTS the
+    reads whose data-axis rows live on its devices, and the per-process
+    outputs concatenate to the single-process byte stream
+    (tests/test_multihost.py)."""
     kmer_dir = os.environ.get("KAIJU_TPU_CACHE")
     if kmer_dir is None and getattr(index, "source_dir", None):
         # cache the k-mer seed tables beside the index itself
         kmer_dir = index.source_dir
+    n_index = int(getattr(args, "mesh_index", 0) or 0) if args else 0
+    nprocs = int(
+        (getattr(args, "dist_nprocs", 0) if args else 0)
+        or os.environ.get("KAIJU_TPU_NPROCS", 0) or 0
+    )
+    if n_index or nprocs > 1:
+        from ..parallel import multihost
+        from ..parallel.sharded_fused import (
+            ShardedGreedyClassifier,
+            ShardedMemClassifier,
+        )
+
+        if nprocs > 1:
+            coord = (
+                (getattr(args, "dist_coordinator", None) if args else None)
+                or os.environ.get("KAIJU_TPU_COORDINATOR")
+            )
+            pid = int(
+                (getattr(args, "dist_pid", None) if args else None)
+                or os.environ.get("KAIJU_TPU_PID", 0) or 0
+            )
+            if not coord:
+                raise SystemExit(
+                    "multi-process run needs --dist-coordinator "
+                    "(or KAIJU_TPU_COORDINATOR)"
+                )
+            multihost.init_distributed(coord, nprocs, pid)
+        n_index = n_index or 1
+        mesh = multihost.make_global_mesh(n_index)
+        if cfg.mode == "mem" and not cfg.taxonomy_free and not cfg.verbose:
+            return ShardedMemClassifier(
+                index, taxonomy, cfg, mesh, n_index, cache_dir=kmer_dir
+            )
+        if (cfg.mode == "greedy" and not cfg.taxonomy_free
+                and not cfg.verbose):
+            return ShardedGreedyClassifier(
+                index, taxonomy, cfg, mesh, n_index, cache_dir=kmer_dir
+            )
+        raise SystemExit(
+            "--mesh-index / --dist-* support mem and greedy modes "
+            "without -v"
+        )
     if getattr(cfg, "debug", False):
         # -d: sequential exact engine so per-fragment stderr traces
         # interleave exactly like the reference's single-threaded run
@@ -96,7 +144,10 @@ def classify_stream(runner, reads_iter, out, cfg: KaijuConfig, batch_size=4096):
     from ..io.fastx import prefetch_batches
 
     def emit(results):
-        for name, res in results:
+        for item in results:
+            if item is None:  # multi-process: read owned by a peer
+                continue
+            name, res = item
             if cfg.taxonomy_free:
                 out.write(format_output_line_x(name, res))
             else:
@@ -136,6 +187,18 @@ def add_engine_args(ap, protein_tool=False):
                          "exact host engine)")
     ap.add_argument("-b", dest="batch_size", type=int, default=4096,
                     help="reads per device batch")
+    ap.add_argument("--mesh-index", dest="mesh_index", type=int, default=0,
+                    help="shard the index over N devices of a "
+                         "(data x index) mesh (databases larger than "
+                         "one chip's HBM; 0 = single-chip pipelines)")
+    ap.add_argument("--dist-coordinator", dest="dist_coordinator",
+                    help="host:port of process 0 for a multi-process "
+                         "(multi-host) run (or KAIJU_TPU_COORDINATOR)")
+    ap.add_argument("--dist-nprocs", dest="dist_nprocs", type=int,
+                    default=0, help="total processes in the "
+                    "jax.distributed runtime (or KAIJU_TPU_NPROCS)")
+    ap.add_argument("--dist-pid", dest="dist_pid", type=int, default=None,
+                    help="this process's id (or KAIJU_TPU_PID)")
 
 
 def config_from_args(args, taxonomy_free=False, protein=False) -> KaijuConfig:

@@ -44,7 +44,7 @@ def main(argv=None):
         print_verbose_parameters(cfg, args)
     index = load_index(args.fmi)
     tax = Taxonomy(parse_nodes_dmp(args.nodes))
-    runner = make_runner(index, tax, cfg)
+    runner = make_runner(index, tax, cfg, args=args)
     out = open_output(args.output)
     reads = read_reads(args.input1, args.input2)
     classify_stream(runner, reads, out, cfg, args.batch_size)

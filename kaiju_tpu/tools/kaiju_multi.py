@@ -42,7 +42,7 @@ def main(argv=None):
         print_verbose_parameters(cfg, args, multi=True)
     index = load_index(args.fmi)
     tax = Taxonomy(parse_nodes_dmp(args.nodes))
-    runner = make_runner(index, tax, cfg)
+    runner = make_runner(index, tax, cfg, args=args)
 
     for f1, f2, fo in zip(in1, in2, outs):
         out = open(fo, "w") if fo else sys.stdout

@@ -193,11 +193,17 @@ def merge_faa(faa_paths, merged_dmp: str, out_path: str):
                         out.write(line + "\n")
 
 
-def build_index(faa: str, prefix: str, sa_exp: int):
+def build_index(faa: str, prefix: str, sa_exp: int, nodes_dmp=None,
+                aot=False):
     from .mkdb import main as mkdb_main
 
     log(f"building ktx index from {faa}")
-    rc = mkdb_main(["-o", prefix + ".ktx", "-e", str(sa_exp), faa])
+    cargs = ["-o", prefix + ".ktx", "-e", str(sa_exp)]
+    if aot and nodes_dmp:
+        # pre-export the fused classification programs so the first
+        # classify run on this machine skips the trace (mkdb --aot)
+        cargs += ["--aot", "-t", nodes_dmp]
+    rc = mkdb_main(cargs + [faa])
     if rc:
         raise SystemExit("index build failed")
 
@@ -222,6 +228,10 @@ def main(argv=None):
     ap.add_argument("-t", dest="threads", type=int, default=5)
     ap.add_argument("--no-download", dest="download", action="store_false")
     ap.add_argument("--index-only", action="store_true")
+    ap.add_argument("--aot", action="store_true",
+                    help="pre-export the fused classification programs "
+                         "after the index build (see kaiju-tpu-mkdb "
+                         "--aot)")
     ap.add_argument("--taxon-list",
                     help="taxon include-list file (default: shipped "
                     "data/taxonlistEuk.tsv)")
@@ -374,7 +384,8 @@ def main(argv=None):
 
     if not os.path.exists(faa):
         raise SystemExit(f"missing {faa}")
-    build_index(faa, os.path.join(dbdir, f"kaiju_db_{db}"), sa_exp)
+    build_index(faa, os.path.join(dbdir, f"kaiju_db_{db}"), sa_exp,
+                nodes_dmp=nodes_dmp, aot=args.aot)
     log(f"Done. Use {os.path.join(dbdir, f'kaiju_db_{db}.ktx')} with "
         "kaiju-tpu, plus nodes.dmp and names.dmp.")
     return 0

@@ -51,6 +51,41 @@ def source_hash() -> str:
     return _SRC_HASH
 
 
+_MACHINE_SIG: Optional[str] = None
+
+
+def machine_sig() -> str:
+    """Host/chip feature identity for artifact keys: a lowered module
+    exported on one CPU can carry machine-feature assumptions (XLA:CPU
+    loader warns of SIGILL risk when they mismatch), so artifacts from
+    a different machine must never be loaded."""
+    global _MACHINE_SIG
+    if _MACHINE_SIG is not None:
+        return _MACHINE_SIG
+    import platform
+
+    import jax
+
+    parts = [platform.machine()]
+    try:
+        parts.append(jax.devices()[0].device_kind)
+    except Exception:
+        pass
+    if jax.default_backend() == "cpu":
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        parts.append(line.strip())
+                        break
+        except OSError:
+            pass
+    _MACHINE_SIG = hashlib.sha256(
+        "|".join(parts).encode()
+    ).hexdigest()[:8]
+    return _MACHINE_SIG
+
+
 def _args_sig(args) -> str:
     import numpy as np
 
@@ -83,9 +118,10 @@ class AotCache:
         jitted call if export/deserialize fails for any reason."""
         import jax
 
-        # artifacts are platform-specific lowered modules
+        # artifacts are platform- AND machine-specific lowered modules
         key = (
-            f"{name}-{jax.default_backend()}-{source_hash()}"
+            f"{name}-{jax.default_backend()}-{machine_sig()}"
+            f"-{source_hash()}"
             f"-{_args_sig(tuple(array_args) + tuple(static_args))}"
         )
         fn = self._loaded.get(key)

@@ -67,6 +67,33 @@ class CapStore:
             return {}
         return {int(k): int(v) for k, v in m.items()}
 
+    @staticmethod
+    def seeded(m: dict[int, int], P: int, floor: int, default: int,
+               cap: Optional[int] = None) -> int:
+        """Capacity for shape bucket P from the learned map `m`:
+        an exact entry wins; otherwise the nearest learned bucket's
+        value scales proportionally with P (capacities track the flat
+        batch size — an 8x batch needs ~8x lanes, and starting there
+        avoids the overflow-retry recompile a cold bucket would pay).
+        Seeds m[P] so the caller's retry loop can grow it."""
+        if P in m:
+            return m[P]
+        if m:
+            import math
+
+            P0 = min(m, key=lambda q: abs(math.log(P / q)))
+            v = max(floor, (m[P0] * P + P0 - 1) // P0)
+            b = floor
+            while b < v:
+                b *= 2
+            v = b
+        else:
+            v = default
+        if cap is not None:
+            v = min(v, cap)
+        m[P] = v
+        return v
+
     def update(self, **kv) -> None:
         changed = False
         for k, v in kv.items():

@@ -18,6 +18,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# this environment's jaxlib segfaults inside
+# LoadedExecutable.serialize() for some large XLA:CPU executables when
+# the persistent compile cache writes them — keep the cache off in the
+# CPU test lane (see kaiju_tpu/utils/jaxcache.py)
+os.environ.setdefault("KAIJU_TPU_NO_COMPILE_CACHE", "1")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

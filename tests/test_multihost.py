@@ -1,9 +1,10 @@
-"""Two-process multi-host smoke test: the sharded MEM step on a mesh
-spanning processes (jax.distributed over CPU), vs the single-process
-result.  This is the DCN-scale-out skeleton — the same collectives that
-run over ICI on one host run over the coordination fabric here
-(BASELINE "N >= 2 hosts" scaling point; the reference itself is
-single-node, SURVEY §2.5)."""
+"""Two-process multi-host production-path test: the ShardedMemClassifier
+driven END-TO-END (stream + capacity retry + per-process outputs) on a
+mesh spanning processes (jax.distributed over CPU), asserting the
+merged per-process TSV is byte-identical to a single-process run.
+The same collectives that run over ICI on one host run over the
+coordination fabric here (BASELINE "N >= 2 hosts" scaling point; the
+reference itself is single-node, SURVEY §2.5)."""
 
 import json
 import os
@@ -51,24 +52,25 @@ def test_two_process_sharded_mem(tmp_path):
         with open(outs[p]) as fh:
             part = json.load(fh)
         for k, v in part.items():
+            assert int(k) not in rows, f"read {k} owned by two processes"
             rows[int(k)] = v
-    # data axis = 4 rows; each process owns 2
-    assert sorted(rows) == [0, 1, 2, 3]
+    # every read appears exactly once across the two processes' outputs
+    assert sorted(rows) == list(range(24)), sorted(rows)
 
-    # single-process truth: run the same program on one process with 8
-    # local devices (the worker module itself, nprocs=1)
+    # single-process truth: the same classifier end-to-end on one
+    # process with 4 local devices (the worker module itself, nprocs=1)
     truth_out = str(tmp_path / "truth.json")
-    env1 = dict(env)
     res = subprocess.run(
         [sys.executable, os.path.join(here, "multihost_worker.py"),
          f"127.0.0.1:{_free_port()}", "1", "0", truth_out],
-        env=env1, cwd=os.path.dirname(here),
+        env=dict(env), cwd=os.path.dirname(here),
         capture_output=True, text=True, timeout=600,
     )
     assert res.returncode == 0, res.stderr[-3000:]
     with open(truth_out) as fh:
         truth = {int(k): v for k, v in json.load(fh).items()}
-    # nprocs=1 gives 4 devices -> (data=2, index=2): same per-read
-    # classification for the rows both runs cover
-    for g in truth:
-        assert rows[g] == truth[g], (g, rows[g], truth[g])
+    assert sorted(truth) == list(range(24))
+    # merged multi-process TSV must be byte-identical to single-process
+    merged = "".join(rows[g] for g in sorted(rows))
+    single = "".join(truth[g] for g in sorted(truth))
+    assert merged == single
