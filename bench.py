@@ -6,6 +6,16 @@ compares end-to-end reads/s against the reference kaiju binary with
 `-z 5` on the same database and reads, in both MEM (`-a mem`) and Greedy
 (default, e=3 s=65 E=0.01) modes (BASELINE.md target: >= 10x per host).
 
+MEASUREMENT-HONESTY NOTE (round 5): earlier rounds timed the reference
+end-to-end on 20k reads, which billed its process startup + index load
+to the reads and under-utilized its 5 threads — flattering our ratios.
+This version measures BOTH sides at steady state: 65,536 reads, and the
+reference's startup (measured with a 1-read input) subtracted, just as
+our numbers exclude warmup/compile.  The corrected baselines are up to
+2.3x higher than the round-4 ones (Greedy uniform 7.6k -> 17.6k r/s),
+so vs_baseline ratios here are NOT comparable to earlier rounds' even
+where our absolute reads/s improved.
+
 Prints ONE JSON line; the headline metric is MEM reads/s, with the
 Greedy numbers as extra keys:
   {"metric": "mem_reads_per_sec", "value": N, "unit": "reads/s",
@@ -242,17 +252,33 @@ def run_reference(fasta, nodes, reads_path, mode="mem", cache_dir=None):
         )
     n_reads = sum(1 for _ in open(reads_path)) // 4
     out = os.path.join(cache_dir, f"ref_{mode}.out")
-    cmd = [os.path.join(ORACLE_BIN, "kaiju"), "-t", nodes, "-f", fmi,
-           "-i", reads_path, "-z", "5", "-o", out]
-    if mode == "mem":
-        cmd += ["-a", "mem"]
-    t0 = time.time()
-    subprocess.run(cmd, check=True, capture_output=True)
-    dt = time.time() - t0
-    rps = n_reads / dt
-    log(f"bench: reference kaiju ({mode}) -z 5: {n_reads} reads in {dt:.2f}s")
+
+    def run_ref(inp):
+        cmd = [os.path.join(ORACLE_BIN, "kaiju"), "-t", nodes, "-f", fmi,
+               "-i", inp, "-z", "5", "-o", out]
+        if mode == "mem":
+            cmd += ["-a", "mem"]
+        t0 = time.time()
+        subprocess.run(cmd, check=True, capture_output=True)
+        return time.time() - t0
+
+    # steady-state rate: subtract the index-load startup (measured with
+    # a 1-read input) — OUR numbers exclude warmup/index upload, so the
+    # reference's ~1-2 s .fmi load must not be billed to its reads
+    # either (at production read counts both vanish)
+    one = os.path.join(cache_dir, "ref_one.fastq")
+    if not os.path.exists(one):
+        with open(reads_path) as src, open(one, "w") as dst:
+            for _ in range(4):
+                dst.write(src.readline())
+    t_startup = min(run_ref(one), run_ref(one))
+    dt = run_ref(reads_path)
+    rps = n_reads / max(dt - t_startup, 1e-6)
+    log(f"bench: reference kaiju ({mode}) -z 5: {n_reads} reads in "
+        f"{dt:.2f}s (startup {t_startup:.2f}s excluded)")
     with open(cache, "w") as fh:
-        json.dump({"reads_per_sec": rps, "seconds": dt}, fh)
+        json.dump({"reads_per_sec": rps, "seconds": dt,
+                   "startup_seconds": t_startup}, fh)
     return rps
 
 

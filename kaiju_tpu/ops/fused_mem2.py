@@ -119,6 +119,24 @@ UNROLL = 4  # FM steps per while-loop iteration: every iteration of a
 # drops 4x.
 
 
+def _burn(n, step_t, st):
+    """n fixed dependent steps of step_t(t, st) -> st.
+
+    On TPU they run STRAIGHT-LINE: no loop-state staging copies, no
+    cond sync (ROOFLINE.md §3b).  On XLA:CPU long inline chains
+    overflow the compiler's recursive passes' C stack (deterministic
+    segfault in backend_compile), so there they run as a fori_loop —
+    each body is a separate HLO computation, which caps the pass
+    recursion depth.  Same semantics either way."""
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        return jax.lax.fori_loop(0, n, step_t, st)
+    for t in range(n):
+        st = step_t(t, st)
+    return st
+
+
 def _extend_paired(rec2, C, flat_codes, base, i, s0, s1, act):
     """Backward-extend flat lanes to completion with paired-row gathers
     (used by the Greedy co-simulation's resumed extensions,
@@ -139,7 +157,7 @@ def _extend_paired(rec2, C, flat_codes, base, i, s0, s1, act):
 # hybrid long-match machinery: direct text comparison
 # ---------------------------------------------------------------------------
 
-SW_WCAP = 4      # max SA-interval width eligible for the text switch
+SW_WCAP = 8      # max SA-interval width eligible for the text switch
 S1_STEPS = 12    # full-width FM burn-in steps after the K-char seed
 VBASE = 1 << 30  # tie rows >= VBASE are pre-resolved id rows (see below)
 
@@ -272,9 +290,7 @@ def _ladder_walk(body, state0, N, done_of, set_done, anyf,
     straggler count) finish in the pre-rung buffer via a fallback loop.
     Results propagate by scattering the rung's state back into the
     wider buffer at its original lane indices."""
-    st = state0
-    for _ in range(burn):
-        st = body(st)
+    st = _burn(burn, lambda _t, s: body(s), state0)
 
     def unrolled(st):
         for _ in range(unroll):
@@ -302,10 +318,8 @@ def _ladder_walk(body, state0, N, done_of, set_done, anyf,
         rung_st = tuple(comp(v, 0) for v in st)
         rung_st = set_done(rung_st, comp(in_rung, False) == 0)
         pend.append((st, orig, undone & ~in_rung))
-        st = rung_st
+        st = _burn(burn, lambda _t, s: body(s), rung_st)
         n = cap
-        for _ in range(burn):
-            st = body(st)
 
     st = jax.lax.while_loop(
         lambda s: anyf(~done_of(s)), unrolled, st
@@ -606,18 +620,23 @@ def _staged_extend(rec, C, seed_rec, flat_codes, frag_off, kid,
     if flatp is None:
         flatp = build_flatp(flat_codes)
 
-    # ---- stage 1: fixed-trip burn-in at full width, STRAIGHT-LINE
-    # with a PRELOADED character window: a while loop would pay ~1 ms/
-    # iteration of loop-state staging copies + a cond-reduce sync
-    # (ROOFLINE.md §3b), and a per-step char gather would pay one more
-    # descriptor-rate-bound [cap0]-row gather per step.  Alive lanes
-    # consume exactly one character per step, so w1[:, t] IS the step-t
-    # character; dead lanes read garbage columns but are masked. ------
+    # ---- stage 1: fixed-trip burn-in at full width, straight-line on
+    # TPU (see _burn) with a PRELOADED character window: a while loop
+    # would pay ~1 ms/iteration of loop-state staging copies + a
+    # cond-reduce sync (ROOFLINE.md §3b), and a per-step char gather
+    # would pay one more descriptor-rate-bound [cap0]-row gather per
+    # step.  Alive lanes consume exactly one character per step, so
+    # w1[:, t] IS the step-t character; dead lanes read garbage columns
+    # but are masked. --------------------------------------------------
     w1 = _rev_window(flatp, cbase + ci, cact).astype(jnp.int32)
-    st_ = (ci, cs0, cs1, alive)
-    for t in range(S1_STEPS):
-        st_ = _step_c(step_rec, rec2, C, w1[:, t], st_, rank_pair)
-    ci, cs0, cs1, alive = st_
+
+    def s1_step(t, st):
+        c = jax.lax.dynamic_slice_in_dim(w1, t, 1, axis=1)[:, 0]
+        return _step_c(step_rec, rec2, C, c, st, rank_pair)
+
+    ci, cs0, cs1, alive = _burn(
+        S1_STEPS, s1_step, (ci, cs0, cs1, alive)
+    )
     bill = jnp.int32(S1_STEPS) * cap0
     res_i = scatter(res_i, corig, ci, cact)
     res_s0 = scatter(res_s0, corig, cs0, cact)

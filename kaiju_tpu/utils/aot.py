@@ -128,6 +128,12 @@ class AotCache:
         if fn is None:
             fn = self._load_or_export(key, jit_fn, array_args, static_args)
             self._loaded[key] = fn
+            # first call triggers the backend compile — run it on a
+            # big-stack thread (XLA:CPU's recursive passes overflow the
+            # main thread's stack on these programs; jaxcache)
+            from .jaxcache import call_on_big_stack
+
+            return call_on_big_stack(fn, *array_args)
         return fn(*array_args)
 
     def _load_or_export(self, key: str, jit_fn, array_args, static_args):

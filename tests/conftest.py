@@ -14,14 +14,28 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# belt-and-braces against XLA:CPU stack exhaustion on deep graphs (the
+# structural fix is backend-aware sequencing in fused_mem2._burn: CPU
+# programs loop instead of straight-lining, so each body is a separate
+# HLO computation and the compiler's pass recursion stays shallow)
+import resource  # noqa: E402
+
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):
+    pass
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# this environment's jaxlib segfaults inside
+# this environment's jaxlib also segfaulted inside
 # LoadedExecutable.serialize() for some large XLA:CPU executables when
-# the persistent compile cache writes them — keep the cache off in the
-# CPU test lane (see kaiju_tpu/utils/jaxcache.py)
+# the persistent compile cache writes them (same stack exhaustion);
+# keep the cache off in the CPU test lane as a second guard
+# (see kaiju_tpu/utils/jaxcache.py)
 os.environ.setdefault("KAIJU_TPU_NO_COMPILE_CACHE", "1")
 
 import numpy as np  # noqa: E402

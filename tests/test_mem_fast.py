@@ -2,6 +2,7 @@
 bit-identical to the reference binary, including the host fallback paths
 for budget overflows."""
 
+import os
 import random
 
 import pytest
@@ -112,14 +113,50 @@ def test_mem_fast_hybrid_long_matches(db_env):
         reads.append(
             (f"lr{i:03d}", reverse_translate(rng, prot[start : start + plen]))
         )
-    cfg = KaijuConfig(mode="mem", seg=True, use_Evalue=False)
-    index = py_builder.build_index(db_env["records"])
-    assert index.text is not None
-    tax = Taxonomy(parse_nodes_dmp(db_env["nodes"]))
-    pipe = MemFastPipeline(index, tax, cfg)
-    assert pipe._hyb_arrays()[0] is not None  # hybrid actually enabled
-    out = []
-    for name, r in pipe.classify_batch([(n, s, None) for n, s in reads]):
-        out.append(format_output_line(name, r, cfg.verbose))
+    # the classify half runs in a FRESH subprocess: this environment's
+    # jaxlib deterministically segfaults compiling this (standalone-
+    # fine) program from a long-lived process that already compiled
+    # many others (see utils/jaxcache.py) — isolation sidesteps the
+    # corrupted-process-state trigger without weakening the assertion
+    import json
+    import subprocess
+    import sys
+
+    worker = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, sys.argv[4])
+sys.path.insert(0, os.path.dirname(sys.argv[4]))
+import jax
+jax.config.update("jax_platforms", "cpu")
+from kaiju_tpu.engine.config import KaijuConfig
+from kaiju_tpu.engine.core import format_output_line
+from kaiju_tpu.engine.mem_fast import MemFastPipeline
+from kaiju_tpu.index import py_builder
+from kaiju_tpu.index.py_builder import read_fasta_records
+from kaiju_tpu.io.taxonomy import Taxonomy, parse_nodes_dmp
+records = read_fasta_records(sys.argv[1])
+reads = json.load(open(sys.argv[2]))
+cfg = KaijuConfig(mode="mem", seg=True, use_Evalue=False)
+index = py_builder.build_index(records)
+assert index.text is not None
+tax = Taxonomy(parse_nodes_dmp(sys.argv[3]))
+pipe = MemFastPipeline(index, tax, cfg)
+assert pipe._hyb_arrays()[0] is not None  # hybrid actually enabled
+out = []
+for name, r in pipe.classify_batch([(n, s, None) for n, s in reads]):
+    out.append(format_output_line(name, r, cfg.verbose))
+sys.stdout.write("".join(out))
+"""
+    here = os.path.dirname(os.path.abspath(__file__))
+    reads_json = os.path.join(db_env["workdir"], "hyb_reads.json")
+    with open(reads_json, "w") as fh:
+        json.dump(reads, fh)
+    proc = subprocess.run(
+        [sys.executable, "-c", worker, db_env["fasta"], reads_json,
+         db_env["nodes"], here],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
     ref = _oracle(db_env, reads, ["-a", "mem", "-x"])
-    assert "".join(out) == ref, _diff("".join(out), ref)
+    assert proc.stdout == ref, _diff(proc.stdout, ref)
